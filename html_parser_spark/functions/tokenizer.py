@@ -1,0 +1,2010 @@
+"""Quirk-exact WHATWG-style HTML tokenizer (pure Python, no Spark imports).
+
+Behavioral port of the reference engine's 7-register tokenizer automaton
+(reference: src/tokenizer/mod.rs:17-3819, src/tokenizer/state.rs) — NOT a code
+translation: the implementation is a single flat ``while`` loop over integer
+state constants with a regex fast path for plain-text runs, designed to run
+inside Arrow-batched pandas UDFs.  Golden equality is defined by differential
+testing against the compiled reference binary (SURVEY.md §5).
+
+Replicated quirks (each pinned by tests/fixtures/probe_cases.jsonl):
+
+* end tags are emitted only when they match the top of an ``open_tags`` stack,
+  otherwise silently dropped; void/self-closing elements bypass the stack
+  (mod.rs:3756-3779) — e.g. ``<body><br></body>`` drops ``</body>``.
+* ``<!doctype`` with a lowercase ``d`` becomes a bogus comment: the markup
+  declaration dispatch matches ``'D'`` only (mod.rs:1109).
+* tag-open alpha test is Unicode ``is_alphabetic`` (mod.rs:231), so ``<éx>``
+  opens a tag; end-tag-open is ASCII-only (mod.rs:259).
+* duplicate attributes are kept (mod.rs:374-378 unimplemented dedup).
+* NUL in the data state is emitted as-is (mod.rs:196).
+* named references consume alphabetic chars and ``;`` only, so digit-bearing
+  entities (``&frac12;``) never decode (mod.rs:752-783); the no-semicolon
+  prefix fallback tries byte-prefixes of length min(7,len)..4 only, so 3-byte
+  entities like ``&gt`` never prefix-match (mod.rs:839-857); the in-attribute
+  historical rule re-flushes raw when the terminator is ``=``/alphanumeric
+  (mod.rs:796-824).
+* numeric-reference accumulators wrap at u32 like a Rust release build
+  (mod.rs:992-1032); the C1 remap table is incomplete (entities.py).
+* ``&#x`` at EOF is swallowed: the hex-start EOF arm reconsumes without
+  flushing the temp buffer (mod.rs:958-960).
+* three reference states lack EOF arms and hang forever on inputs ending in
+  ``<!``, ``<!--x-`` or ``<!DOCTYPE name␣`` (mod.rs:1098-1126, 1398-1416,
+  1565-1612).  This port *terminates* on them and reports
+  ``parse_status='hang_in_reference'`` (documented divergence; excluded from
+  the equality denominator — the reference never produces output for them).
+* the named-reference byte-prefix slice can split a UTF-8 char boundary, which
+  panics the reference process (Rust ``&buffer[..max]``).  This port reports
+  ``parse_status='panic_in_reference'`` and recovers by flushing raw.
+
+Token model (mirrors src/tokenizer/token.rs:183-190, with Char runs coalesced
+losslessly into one ``chars`` entry per run — the serialization format used by
+the golden fixtures):
+
+    ("chars", data, src_start, src_end)
+    ("start", name, attrs, self_closing)      attrs: list[[name, value]]
+    ("end",   name, attrs, self_closing)
+    ("comment", data)
+    ("doctype", name, public_id, system_id, force_quirks)
+    ("eof",)
+
+``src_start``/``src_end`` are char offsets into the raw input covering the
+source region a text run came from (entity references attribute their decoded
+characters to the reference's source span) — consumed by extract.py for spans.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+from .entities import (
+    MAX_POSSIBLE,
+    MAX_WITHOUT_SEMICOLON,
+    MIN_POSSIBLE,
+    ENTITIES,
+    is_numeric_control,
+    is_numeric_noncharacter,
+    is_numeric_surrogate,
+    is_numeric_whitespace,
+    replace_control,
+)
+
+# ---------------------------------------------------------------------------
+# states (subset ordering irrelevant; ints for dispatch speed)
+# reference: src/tokenizer/state.rs:2-323
+DATA = 0
+TAG_OPEN = 1
+TAG_NAME = 2
+BEFORE_ATTR_NAME = 3
+ATTR_NAME = 4
+AFTER_ATTR_NAME = 5
+BEFORE_ATTR_VALUE = 6
+ATTR_VALUE_DQ = 7
+ATTR_VALUE_SQ = 8
+ATTR_VALUE_UQ = 9
+AFTER_ATTR_VALUE_Q = 10
+END_TAG_OPEN = 11
+SELF_CLOSING = 12
+CHAR_REF = 13
+NAMED_CHAR_REF = 14
+NUMERIC_CHAR_REF = 15
+HEX_CHAR_REF_START = 16
+DEC_CHAR_REF_START = 17
+DEC_CHAR_REF = 18
+HEX_CHAR_REF = 19
+NUMERIC_CHAR_REF_END = 20
+BOGUS_COMMENT = 21
+AMBIGUOUS_AMPERSAND = 22
+MARKUP_DECL_OPEN = 23
+COMMENT_START = 24
+COMMENT_START_DASH = 25
+COMMENT = 26
+COMMENT_LTS = 27
+COMMENT_LTS_BANG = 28
+COMMENT_LTS_BANG_DASH = 29
+COMMENT_LTS_BANG_DASH_DASH = 30
+COMMENT_END_DASH = 31
+COMMENT_END = 32
+COMMENT_END_BANG = 33
+DOCTYPE = 34
+BEFORE_DOCTYPE_NAME = 35
+DOCTYPE_NAME = 36
+AFTER_DOCTYPE_NAME = 37
+AFTER_PUBLIC_KEYWORD = 38
+BEFORE_PUBLIC_ID = 39
+PUBLIC_ID_DQ = 40
+PUBLIC_ID_SQ = 41
+AFTER_PUBLIC_ID = 42
+BETWEEN_PUB_SYS = 43
+AFTER_SYSTEM_KEYWORD = 44
+BEFORE_SYSTEM_ID = 45
+SYSTEM_ID_DQ = 46
+SYSTEM_ID_SQ = 47
+AFTER_SYSTEM_ID = 48
+BOGUS_DOCTYPE = 49
+CDATA_SECTION = 50
+CDATA_BRACKET = 51
+CDATA_END = 52
+
+_ATTR_VALUE_STATES = (ATTR_VALUE_DQ, ATTR_VALUE_SQ, ATTR_VALUE_UQ)
+
+_WS = "\t\n\x0c "  # tab, LF, FF, space — the tokenizer's whitespace class
+
+_DATA_BREAK = re.compile(r"[&<]")
+
+_ASCII_ALPHA = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+)
+_ASCII_UPPER = frozenset("ABCDEFGHIJKLMNOPQRSTUVWXYZ")
+_ASCII_DIGIT = frozenset("0123456789")
+_ASCII_HEX = frozenset("0123456789abcdefABCDEF")
+
+REPLACEMENT = "�"
+
+# parse_status values
+OK = "ok"
+HANG = "hang_in_reference"
+PANIC = "panic_in_reference"
+
+
+def _is_alphabetic(c: str) -> bool:
+    """Rust char::is_alphabetic ≈ Unicode Alphabetic.
+
+    Python ``str.isalpha`` covers L*; add Nl to close most of the gap
+    (Other_Alphabetic combining marks are not covered — documented
+    divergence, absent from the fixture grammar).
+    """
+    return c.isalpha() or unicodedata.category(c) == "Nl"
+
+
+def _is_alphanumeric(c: str) -> bool:
+    """Rust char::is_alphanumeric ≈ Alphabetic ∪ N*."""
+    return c.isalnum() or unicodedata.category(c) == "Nl"
+
+
+def tokenize(text: str):
+    """Run the automaton over ``text``; return ``(tokens, parse_status)``.
+
+    Always terminates (see module docstring for the divergence ledger).
+    """
+    n = len(text)
+    tokens: list = []
+    out = tokens.append
+
+    # pending coalesced character run + its source attribution
+    run: list = []
+    run_push = run.append
+    run_first = -1
+    run_last_end = -1
+
+    def flush_run():
+        nonlocal run, run_first, run_last_end, run_push
+        if run:
+            out(("chars", "".join(run), run_first, run_last_end))
+            run = []
+            run_push = run.append
+            run_first = -1
+
+    # 7-register machine (reference: src/tokenizer/mod.rs:17-37)
+    state = DATA
+    return_state = DATA
+    pos = 0  # index of next char to consume
+    cur: str | None = None  # current_character
+    cur_idx = -1  # source index of cur (n at EOF)
+    recon = False  # reconsume flag
+    temp_buf: str | None = None  # temporary_buffer (None ≡ Rust None)
+    char_ref_code = 0
+    open_tags: list[str] = []
+
+    # current token registers (exactly one kind active at a time)
+    tok_kind = 0  # 0 none, 1 tag, 2 comment, 3 doctype
+    tag_name = ""
+    tag_attrs: list = []
+    tag_self_closing = False
+    tag_is_end = False
+    comment_data = ""
+    dt_name = ""
+    dt_public: str | None = None
+    dt_system: str | None = None
+    dt_quirks = False
+
+    status = OK
+    amp_src = -1  # source index of the '&' opening the current char ref
+
+    def emit_chars(s: str, src_start: int, src_end: int):
+        nonlocal run_first, run_last_end
+        if not run:
+            run_first = src_start
+        run_push(s)
+        run_last_end = src_end
+
+    def emit_current_tag():
+        # reference: emit_current_tag_token mod.rs:3756-3779 — THE stack quirk
+        nonlocal tok_kind
+        if tok_kind != 1:
+            tok_kind = 0
+            return
+        tok_kind = 0
+        if not tag_self_closing:
+            if tag_is_end:
+                if open_tags and open_tags[-1] == tag_name:
+                    open_tags.pop()
+                    flush_run()
+                    out(("end", tag_name, tag_attrs, tag_self_closing))
+                # else: silently dropped
+            else:
+                open_tags.append(tag_name)
+                flush_run()
+                out(("start", tag_name, tag_attrs, tag_self_closing))
+        else:
+            flush_run()
+            out(
+                (
+                    "end" if tag_is_end else "start",
+                    tag_name,
+                    tag_attrs,
+                    tag_self_closing,
+                )
+            )
+
+    def emit_doctype():
+        # reference: emit_current_token mod.rs:3738-3743 — generic take-and-
+        # push: emits WHATEVER the current token is, bypassing the open-tags
+        # stack filter.  Used by every DOCTYPE emission site.
+        nonlocal tok_kind
+        if tok_kind == 3:
+            flush_run()
+            out(("doctype", dt_name, dt_public, dt_system, dt_quirks))
+        elif tok_kind == 2:
+            flush_run()
+            out(("comment", comment_data))
+        elif tok_kind == 1:
+            flush_run()
+            out(
+                (
+                    "end" if tag_is_end else "start",
+                    tag_name,
+                    tag_attrs,
+                    tag_self_closing,
+                )
+            )
+        tok_kind = 0
+
+    def emit_comment():
+        # reference: emit_current_comment_token mod.rs:3745-3754 — only if
+        # the current token is a comment (otherwise silently dropped)
+        nonlocal tok_kind
+        if tok_kind == 2:
+            flush_run()
+            out(("comment", comment_data))
+        tok_kind = 0
+
+    def emit_eof():
+        flush_run()
+        out(("eof",))
+
+    while True:
+        if tokens and tokens[-1] == ("eof",):
+            break
+
+        if state == DATA:
+            # fast path: bulk-copy the run up to the next '&'/'<'
+            # (equivalent: every other char, incl. NUL, is emitted as-is —
+            # mod.rs:179-206)
+            if not recon and pos < n:
+                m = _DATA_BREAK.search(text, pos)
+                j = m.start() if m else n
+                if j > pos:
+                    emit_chars(text[pos:j], pos, j)
+                    pos = j
+            # consume
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                emit_eof()
+            elif c == "&":
+                return_state = DATA
+                state = CHAR_REF
+            elif c == "<":
+                state = TAG_OPEN
+            else:
+                emit_chars(c, cur_idx, cur_idx + 1)
+                cur = None  # emit_current_input_character takes it
+
+        elif state == CHAR_REF:
+            # mod.rs:718-749
+            temp_buf = "&"
+            amp_src = cur_idx
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                recon = True
+                state = return_state
+            elif c == "#":
+                temp_buf += c
+                state = NUMERIC_CHAR_REF
+            elif _is_alphanumeric(c):
+                recon = True
+                state = NAMED_CHAR_REF
+            else:
+                recon = True
+                state = return_state
+
+        elif state == NAMED_CHAR_REF:
+            # mod.rs:752-880 — ported with the same index arithmetic
+            i = 0
+            while i < MAX_POSSIBLE:
+                if recon:
+                    recon = False
+                    c = cur
+                elif pos < n:
+                    c = cur = text[pos]
+                    cur_idx = pos
+                    pos += 1
+                else:
+                    c = cur = None
+                    cur_idx = n
+                if c is None:
+                    break
+                if c == ";":
+                    temp_buf += c
+                    break
+                if _is_alphabetic(c):
+                    temp_buf += c
+                else:
+                    break
+                i += 1
+
+            buffer = temp_buf if temp_buf is not None else ""
+            in_attr = return_state in _ATTR_VALUE_STATES
+
+            entity = ENTITIES.get(buffer)
+            if entity is not None:
+                if in_attr and cur != "=" and not (
+                    cur is not None and _is_alphanumeric(cur)
+                ):
+                    for ch in entity:
+                        if tok_kind == 1 and tag_attrs:
+                            tag_attrs[-1][1] += ch
+                    state = return_state
+                elif not in_attr:
+                    emit_chars(entity, amp_src, cur_idx + (0 if cur is None else 1))
+                else:
+                    # historical rule: flush raw (mod.rs:822-824)
+                    if temp_buf is not None:
+                        for ch in temp_buf:
+                            if tok_kind == 1 and tag_attrs:
+                                tag_attrs[-1][1] += ch
+                        temp_buf = None
+                if cur == ";":
+                    state = return_state
+                else:
+                    recon = True
+                    state = return_state
+            else:
+                if in_attr:
+                    # flush_code_points... (mod.rs:831-837)
+                    if temp_buf is not None:
+                        for ch in temp_buf:
+                            if tok_kind == 1 and tag_attrs:
+                                tag_attrs[-1][1] += ch
+                        temp_buf = None
+                    if cur == ";":
+                        state = return_state
+                    else:
+                        recon = True
+                        state = return_state
+                else:
+                    # byte-domain prefix fallback (mod.rs:839-877); Rust
+                    # slices &buffer[..max] by BYTES and panics on a char
+                    # boundary violation — we flag and recover.
+                    bbuf = buffer.encode("utf-8")
+                    mx = MAX_WITHOUT_SEMICOLON + 1
+                    if mx > len(bbuf):
+                        mx = len(bbuf)
+                    matched = None
+                    while mx > MIN_POSSIBLE:
+                        try:
+                            prefix = bbuf[:mx].decode("utf-8")
+                        except UnicodeDecodeError:
+                            status = PANIC
+                            prefix = None
+                        if prefix is not None:
+                            matched = ENTITIES.get(prefix)
+                            if matched is not None:
+                                emit_chars(
+                                    matched,
+                                    amp_src,
+                                    cur_idx + (0 if cur is None else 1),
+                                )
+                                break
+                        mx -= 1
+                    # re-emit unmatched tail raw; Rust enumerates CHAR
+                    # indices against the BYTE count mx (mod.rs:859-863) —
+                    # safe here: any matched prefix is pure ASCII, so char
+                    # and byte indices agree below mx (divergence is only
+                    # possible through a decode failure, flagged above).
+                    for index, ch in enumerate(buffer):
+                        if index >= mx or mx == MIN_POSSIBLE:
+                            emit_chars(ch, amp_src, cur_idx + (0 if cur is None else 1))
+                    if mx != MIN_POSSIBLE:
+                        if cur == ";":
+                            state = return_state
+                        else:
+                            recon = True
+                            state = return_state
+                    else:
+                        if cur == ";":
+                            state = AMBIGUOUS_AMPERSAND
+                        else:
+                            recon = True
+                            state = AMBIGUOUS_AMPERSAND
+
+        elif state == TAG_OPEN:
+            # mod.rs:209-250
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                emit_chars("<", cur_idx - 1, cur_idx)
+                emit_eof()
+            elif c == "!":
+                state = MARKUP_DECL_OPEN
+            elif c == "/":
+                state = END_TAG_OPEN
+            elif c == "?":
+                recon = True
+                state = BOGUS_COMMENT
+                tok_kind = 2
+                comment_data = ""
+            elif _is_alphabetic(c):
+                tok_kind = 1
+                tag_name = ""
+                tag_attrs = []
+                tag_self_closing = False
+                tag_is_end = False
+                recon = True
+                state = TAG_NAME
+            else:
+                recon = True
+                state = DATA
+                emit_chars("<", cur_idx - 1, cur_idx)
+
+        elif state == TAG_NAME:
+            # mod.rs:286-330
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                emit_eof()
+            elif c in _WS:
+                state = BEFORE_ATTR_NAME
+            elif c == "/":
+                state = SELF_CLOSING
+            elif c == ">":
+                state = DATA
+                emit_current_tag()
+            elif c in _ASCII_UPPER:
+                tag_name += chr(ord(c) + 0x20)
+            elif c == "\x00":
+                tag_name += REPLACEMENT
+            else:
+                tag_name += c
+
+        elif state == END_TAG_OPEN:
+            # mod.rs:253-283 — ASCII alpha only (unlike tag open)
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                emit_chars("</", cur_idx - 2, cur_idx)
+                emit_eof()
+            elif c in _ASCII_ALPHA:
+                tok_kind = 1
+                tag_name = ""
+                tag_attrs = []
+                tag_self_closing = False
+                tag_is_end = True
+                recon = True
+                state = TAG_NAME
+            elif c == ">":
+                state = DATA
+            else:
+                tok_kind = 2
+                comment_data = ""
+                recon = True
+                state = BOGUS_COMMENT
+
+        elif state == BEFORE_ATTR_NAME:
+            # mod.rs:333-371
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                recon = True
+                state = AFTER_ATTR_NAME
+            elif c in _WS:
+                pass
+            elif c == "/" or c == ">":
+                recon = True
+                state = AFTER_ATTR_NAME
+            elif c == "=":
+                if tok_kind == 1:
+                    tag_attrs.append(["=", ""])
+                state = ATTR_NAME
+            else:
+                if tok_kind == 1:
+                    tag_attrs.append(["", ""])
+                recon = True
+                state = ATTR_NAME
+
+        elif state == ATTR_NAME:
+            # mod.rs:379-423 — duplicate attributes kept (dedup unimplemented)
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                recon = True
+                state = AFTER_ATTR_NAME
+            elif c in _WS or c == "/" or c == ">":
+                recon = True
+                state = AFTER_ATTR_NAME
+            elif c == "=":
+                state = BEFORE_ATTR_VALUE
+            elif c in _ASCII_UPPER:
+                if tok_kind == 1 and tag_attrs:
+                    tag_attrs[-1][0] += chr(ord(c) + 0x20)
+            elif c == "\x00":
+                if tok_kind == 1 and tag_attrs:
+                    tag_attrs[-1][0] += REPLACEMENT
+            else:
+                if tok_kind == 1 and tag_attrs:
+                    tag_attrs[-1][0] += c
+
+        elif state == AFTER_ATTR_NAME:
+            # mod.rs:426-464
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                emit_eof()
+            elif c in _WS:
+                pass
+            elif c == "/":
+                state = SELF_CLOSING
+            elif c == "=":
+                state = BEFORE_ATTR_VALUE
+            elif c == ">":
+                state = DATA
+                emit_current_tag()
+            else:
+                if tok_kind == 1:
+                    tag_attrs.append(["", ""])
+                recon = True
+                state = ATTR_NAME
+
+        elif state == BEFORE_ATTR_VALUE:
+            # mod.rs:467-504 — EOF falls through to unquoted (quirk)
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                recon = True
+                state = ATTR_VALUE_UQ
+            elif c in _WS:
+                pass
+            elif c == '"':
+                state = ATTR_VALUE_DQ
+            elif c == "'":
+                state = ATTR_VALUE_SQ
+            elif c == ">":
+                state = DATA
+                emit_current_tag()
+            else:
+                recon = True
+                state = ATTR_VALUE_UQ
+
+        elif state == ATTR_VALUE_DQ:
+            # mod.rs:507-537
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                emit_eof()
+            elif c == '"':
+                state = AFTER_ATTR_VALUE_Q
+            elif c == "&":
+                return_state = ATTR_VALUE_DQ
+                state = CHAR_REF
+            elif c == "\x00":
+                if tok_kind == 1 and tag_attrs:
+                    tag_attrs[-1][1] += REPLACEMENT
+            else:
+                if tok_kind == 1 and tag_attrs:
+                    tag_attrs[-1][1] += c
+
+        elif state == ATTR_VALUE_SQ:
+            # mod.rs:540-571
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                emit_eof()
+            elif c == "'":
+                state = AFTER_ATTR_VALUE_Q
+            elif c == "&":
+                return_state = ATTR_VALUE_SQ
+                state = CHAR_REF
+            elif c == "\x00":
+                if tok_kind == 1 and tag_attrs:
+                    tag_attrs[-1][1] += REPLACEMENT
+            else:
+                if tok_kind == 1 and tag_attrs:
+                    tag_attrs[-1][1] += c
+
+        elif state == ATTR_VALUE_UQ:
+            # mod.rs:574-620
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                emit_eof()
+            elif c in _WS:
+                state = BEFORE_ATTR_NAME
+            elif c == "&":
+                return_state = ATTR_VALUE_UQ
+                state = CHAR_REF
+            elif c == ">":
+                state = DATA
+                emit_current_tag()
+            elif c == "\x00":
+                if tok_kind == 1 and tag_attrs:
+                    tag_attrs[-1][1] += REPLACEMENT
+            else:
+                if tok_kind == 1 and tag_attrs:
+                    tag_attrs[-1][1] += c
+
+        elif state == AFTER_ATTR_VALUE_Q:
+            # mod.rs:623-657
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                emit_eof()
+            elif c in _WS:
+                state = BEFORE_ATTR_NAME
+            elif c == "/":
+                state = SELF_CLOSING
+            elif c == ">":
+                state = DATA
+                emit_current_tag()
+            else:
+                recon = True
+                state = BEFORE_ATTR_NAME
+
+        elif state == SELF_CLOSING:
+            # mod.rs:660-685
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                emit_eof()
+            elif c == ">":
+                if tok_kind == 1:
+                    tag_self_closing = True
+                state = DATA
+                emit_current_tag()
+            else:
+                recon = True
+                state = BEFORE_ATTR_NAME
+
+        elif state == BOGUS_COMMENT:
+            # mod.rs:688-715
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                recon = True
+                state = DATA
+                emit_comment()
+            elif c == ">":
+                state = DATA
+                emit_comment()
+            elif c == "\x00":
+                if tok_kind == 2:
+                    comment_data += REPLACEMENT
+            else:
+                if tok_kind == 2:
+                    comment_data += c
+
+        elif state == AMBIGUOUS_AMPERSAND:
+            # mod.rs:883-915 — ASCII alpha only; digits hit "anything else"
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                recon = True
+                state = return_state
+            elif c in _ASCII_ALPHA:
+                if return_state in _ATTR_VALUE_STATES:
+                    if tok_kind == 1 and tag_attrs:
+                        tag_attrs[-1][1] += c
+                else:
+                    emit_chars(c, cur_idx, cur_idx + 1)
+            else:
+                recon = True
+                state = return_state
+
+        elif state == MARKUP_DECL_OPEN:
+            # mod.rs:1098-1126 — NO EOF arm in the reference: hangs forever
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                status = HANG
+                emit_eof()
+            elif c == "-":
+                # consume_double_hyphen (mod.rs:3458-3487); reconsume first
+                recon = True
+                count = 0
+                while count < 2:
+                    if recon:
+                        recon = False
+                        c2 = cur
+                    elif pos < n:
+                        c2 = cur = text[pos]
+                        cur_idx = pos
+                        pos += 1
+                    else:
+                        c2 = cur = None
+                        cur_idx = n
+                    if c2 is None:
+                        break
+                    if c2 == "-":
+                        count += 1
+                    else:
+                        break
+                tok_kind = 2
+                comment_data = "-" * count if count < 2 else ""
+                if count == 2:
+                    state = COMMENT_START
+                else:
+                    recon = True
+                    state = BOGUS_COMMENT
+            elif c == "D":
+                # consume_doctype (mod.rs:3489-3518) — only uppercase 'D'
+                # dispatches; remaining chars case-insensitive; partial match
+                # appends the UPPERCASE goal chars to a bogus comment
+                recon = True
+                goal = "DOCTYPE"
+                index = 0
+                while index < 7:
+                    if recon:
+                        recon = False
+                        c2 = cur
+                    elif pos < n:
+                        c2 = cur = text[pos]
+                        cur_idx = pos
+                        pos += 1
+                    else:
+                        c2 = cur = None
+                        cur_idx = n
+                    if c2 is None:
+                        break
+                    if (
+                        chr(ord(c2) - 0x20)
+                        if c2 in "abcdefghijklmnopqrstuvwxyz"
+                        else c2
+                    ) == goal[index]:
+                        index += 1
+                    else:
+                        break
+                if index == 7:
+                    state = DOCTYPE
+                else:
+                    tok_kind = 2
+                    comment_data = goal[:index]
+                    recon = True
+                    state = BOGUS_COMMENT
+            elif c == "[":
+                # consume_cdata (mod.rs:3520-3552) — case-sensitive, always
+                # enters CDATA (no adjusted-current-node check)
+                recon = True
+                goal = "[CDATA["
+                index = 0
+                while index < 7:
+                    if recon:
+                        recon = False
+                        c2 = cur
+                    elif pos < n:
+                        c2 = cur = text[pos]
+                        cur_idx = pos
+                        pos += 1
+                    else:
+                        c2 = cur = None
+                        cur_idx = n
+                    if c2 is None:
+                        break
+                    if c2 == goal[index]:
+                        index += 1
+                    else:
+                        break
+                if index == 7:
+                    state = CDATA_SECTION
+                else:
+                    tok_kind = 2
+                    comment_data = goal[:index]
+                    recon = True
+                    state = BOGUS_COMMENT
+            else:
+                tok_kind = 2
+                comment_data = ""
+                recon = True
+                state = BOGUS_COMMENT
+
+        elif state == COMMENT_START:
+            # mod.rs:1129-1153
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                recon = True
+                state = COMMENT
+            elif c == "-":
+                state = COMMENT_START_DASH
+            elif c == ">":
+                state = DATA
+                emit_comment()
+            else:
+                recon = True
+                state = COMMENT
+
+        elif state == COMMENT_START_DASH:
+            # mod.rs:1156-1185
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                emit_comment()
+                emit_eof()
+            elif c == "-":
+                state = COMMENT_END
+            elif c == ">":
+                state = DATA
+                emit_comment()
+            else:
+                if tok_kind == 2:
+                    comment_data += "-"
+                recon = True
+                state = COMMENT
+
+        elif state == COMMENT:
+            # mod.rs:1188-1221
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                emit_comment()
+                emit_eof()
+            elif c == "<":
+                if tok_kind == 2:
+                    comment_data += c
+                state = COMMENT_LTS
+            elif c == "-":
+                state = COMMENT_END_DASH
+            elif c == "\x00":
+                if tok_kind == 2:
+                    comment_data += REPLACEMENT
+            else:
+                if tok_kind == 2:
+                    comment_data += c
+
+        elif state == COMMENT_LTS:
+            # mod.rs:1304-1329
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                recon = True
+                state = COMMENT
+            elif c == "!":
+                if tok_kind == 2:
+                    comment_data += c
+                state = COMMENT_LTS_BANG
+            elif c == "<":
+                if tok_kind == 2:
+                    comment_data += c
+            else:
+                recon = True
+                state = COMMENT
+
+        elif state == COMMENT_LTS_BANG:
+            # mod.rs:1332-1351
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                recon = True
+                state = COMMENT
+            elif c == "-":
+                state = COMMENT_LTS_BANG_DASH
+            else:
+                recon = True
+                state = COMMENT
+
+        elif state == COMMENT_LTS_BANG_DASH:
+            # mod.rs:1354-1373
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                recon = True
+                state = COMMENT_END_DASH
+            elif c == "-":
+                state = COMMENT_LTS_BANG_DASH_DASH
+            else:
+                recon = True
+                state = COMMENT_END_DASH
+
+        elif state == COMMENT_LTS_BANG_DASH_DASH:
+            # mod.rs:1376-1395 — all arms reconsume in comment end
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            recon = True
+            state = COMMENT_END
+
+        elif state == COMMENT_END_DASH:
+            # mod.rs:1398-1416 — NO EOF arm in the reference: hangs forever
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                status = HANG
+                emit_eof()
+            elif c == "-":
+                state = COMMENT_END
+            else:
+                if tok_kind == 2:
+                    comment_data += "-"
+                recon = True
+                state = COMMENT
+
+        elif state == COMMENT_END:
+            # mod.rs:1224-1262
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                emit_comment()
+                emit_eof()
+            elif c == ">":
+                state = DATA
+                emit_comment()
+            elif c == "!":
+                state = COMMENT_END_BANG
+            elif c == "-":
+                if tok_kind == 2:
+                    comment_data += "-"
+            else:
+                if tok_kind == 2:
+                    comment_data += "--"
+                recon = True
+                state = COMMENT
+
+        elif state == COMMENT_END_BANG:
+            # mod.rs:1265-1301
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                emit_comment()
+                emit_eof()
+            elif c == "-":
+                if tok_kind == 2:
+                    comment_data += "--!"
+                state = COMMENT_END_DASH
+            elif c == ">":
+                state = DATA
+                emit_comment()
+            else:
+                if tok_kind == 2:
+                    comment_data += "--!"
+                recon = True
+                state = COMMENT
+
+        elif state == DOCTYPE:
+            # mod.rs:1419-1453
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                tok_kind = 3
+                dt_name = ""
+                dt_public = None
+                dt_system = None
+                dt_quirks = True
+                emit_doctype()
+                emit_eof()
+            elif c in _WS:
+                state = BEFORE_DOCTYPE_NAME
+            else:  # '>' and anything else both reconsume
+                recon = True
+                state = BEFORE_DOCTYPE_NAME
+
+        elif state == BEFORE_DOCTYPE_NAME:
+            # mod.rs:1456-1513
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                tok_kind = 3
+                dt_name = ""
+                dt_public = None
+                dt_system = None
+                dt_quirks = True
+                emit_doctype()
+                emit_eof()
+            elif c in _WS:
+                pass
+            elif c in _ASCII_UPPER:
+                tok_kind = 3
+                dt_name = chr(ord(c) + 0x20)
+                dt_public = None
+                dt_system = None
+                dt_quirks = False
+                state = DOCTYPE_NAME
+            elif c == "\x00":
+                tok_kind = 3
+                dt_name = REPLACEMENT
+                dt_public = None
+                dt_system = None
+                dt_quirks = False
+                state = DOCTYPE_NAME
+            elif c == ">":
+                tok_kind = 3
+                dt_name = ""
+                dt_public = None
+                dt_system = None
+                dt_quirks = True
+                state = DATA
+                emit_doctype()
+            else:
+                tok_kind = 3
+                dt_name = c
+                dt_public = None
+                dt_system = None
+                dt_quirks = False
+                state = DOCTYPE_NAME
+
+        elif state == DOCTYPE_NAME:
+            # mod.rs:1516-1562
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                dt_quirks = True
+                emit_doctype()
+                emit_eof()
+            elif c in _WS:
+                state = AFTER_DOCTYPE_NAME
+            elif c == ">":
+                state = DATA
+                emit_doctype()
+            elif c in _ASCII_UPPER:
+                dt_name += chr(ord(c) + 0x20)
+            elif c == "\x00":
+                dt_name += REPLACEMENT
+            else:
+                dt_name += c
+
+        elif state == AFTER_DOCTYPE_NAME:
+            # mod.rs:1565-1612 — NO EOF arm in the reference: hangs forever
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                status = HANG
+                emit_eof()
+            elif c in _WS:
+                pass
+            elif c == ">":
+                state = DATA
+                emit_doctype()
+            else:
+                u = chr(ord(c) - 0x20) if "a" <= c <= "z" else c
+                if u == "P":
+                    # consume_public_keyword (mod.rs:3434-3456)
+                    recon = True
+                    goal = "PUBLIC"
+                    index = 0
+                    while index < 6:
+                        if recon:
+                            recon = False
+                            c2 = cur
+                        elif pos < n:
+                            c2 = cur = text[pos]
+                            cur_idx = pos
+                            pos += 1
+                        else:
+                            c2 = cur = None
+                            cur_idx = n
+                        if c2 is None:
+                            break
+                        if (
+                            chr(ord(c2) - 0x20)
+                            if "a" <= c2 <= "z"
+                            else c2
+                        ) == goal[index]:
+                            index += 1
+                        else:
+                            break
+                    if index == 6:
+                        state = AFTER_PUBLIC_KEYWORD
+                    else:
+                        recon = True
+                        state = BOGUS_DOCTYPE
+                elif u == "S":
+                    # consume_system_keyword (mod.rs:3410-3432)
+                    recon = True
+                    goal = "SYSTEM"
+                    index = 0
+                    while index < 6:
+                        if recon:
+                            recon = False
+                            c2 = cur
+                        elif pos < n:
+                            c2 = cur = text[pos]
+                            cur_idx = pos
+                            pos += 1
+                        else:
+                            c2 = cur = None
+                            cur_idx = n
+                        if c2 is None:
+                            break
+                        if (
+                            chr(ord(c2) - 0x20)
+                            if "a" <= c2 <= "z"
+                            else c2
+                        ) == goal[index]:
+                            index += 1
+                        else:
+                            break
+                    if index == 6:
+                        state = AFTER_SYSTEM_KEYWORD
+                    else:
+                        recon = True
+                        state = BOGUS_DOCTYPE
+                else:
+                    dt_quirks = True
+                    recon = True
+                    state = BOGUS_DOCTYPE
+
+        elif state == AFTER_PUBLIC_KEYWORD:
+            # mod.rs:1615-1669
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                dt_quirks = True
+                emit_doctype()
+                emit_eof()
+            elif c in _WS:
+                state = BEFORE_PUBLIC_ID
+            elif c == '"':
+                dt_public = ""
+                state = PUBLIC_ID_DQ
+            elif c == "'":
+                dt_public = ""
+                state = PUBLIC_ID_SQ
+            elif c == ">":
+                dt_quirks = True
+                state = DATA
+                emit_doctype()
+            else:
+                dt_quirks = True
+                recon = True
+                state = BOGUS_DOCTYPE
+
+        elif state == BEFORE_PUBLIC_ID:
+            # mod.rs:1705-1756
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                dt_quirks = True
+                emit_doctype()
+                emit_eof()
+            elif c in _WS:
+                pass
+            elif c == '"':
+                dt_public = ""
+                state = PUBLIC_ID_DQ
+            elif c == "'":
+                dt_public = ""
+                state = PUBLIC_ID_SQ
+            elif c == ">":
+                dt_quirks = True
+                state = DATA
+                emit_doctype()
+            else:
+                dt_quirks = True
+                recon = True
+                state = BOGUS_DOCTYPE
+
+        elif state == PUBLIC_ID_DQ:
+            # mod.rs:1759-1799
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                dt_quirks = True
+                emit_doctype()
+                emit_eof()
+            elif c == '"':
+                state = AFTER_PUBLIC_ID
+            elif c == "\x00":
+                if dt_public is not None:
+                    dt_public += REPLACEMENT
+            elif c == ">":
+                dt_quirks = True
+                state = DATA
+                emit_doctype()
+            else:
+                if dt_public is not None:
+                    dt_public += c
+
+        elif state == PUBLIC_ID_SQ:
+            # mod.rs:1802-1842
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                dt_quirks = True
+                emit_doctype()
+                emit_eof()
+            elif c == "'":
+                state = AFTER_PUBLIC_ID
+            elif c == "\x00":
+                if dt_public is not None:
+                    dt_public += REPLACEMENT
+            elif c == ">":
+                dt_quirks = True
+                state = DATA
+                emit_doctype()
+            else:
+                if dt_public is not None:
+                    dt_public += c
+
+        elif state == AFTER_PUBLIC_ID:
+            # mod.rs:1845-1899
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                dt_quirks = True
+                emit_doctype()
+                emit_eof()
+            elif c in _WS:
+                state = BETWEEN_PUB_SYS
+            elif c == ">":
+                state = DATA
+                emit_doctype()
+            elif c == '"':
+                dt_system = ""
+                state = SYSTEM_ID_DQ
+            elif c == "'":
+                dt_system = ""
+                state = SYSTEM_ID_SQ
+            else:
+                dt_quirks = True
+                recon = True
+                state = BOGUS_DOCTYPE
+
+        elif state == BETWEEN_PUB_SYS:
+            # mod.rs:1902-1955
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                dt_quirks = True
+                emit_doctype()
+                emit_eof()
+            elif c in _WS:
+                pass
+            elif c == ">":
+                state = DATA
+                emit_doctype()
+            elif c == '"':
+                dt_system = ""
+                state = SYSTEM_ID_DQ
+            elif c == "'":
+                dt_system = ""
+                state = SYSTEM_ID_SQ
+            else:
+                dt_quirks = True
+                recon = True
+                state = BOGUS_DOCTYPE
+
+        elif state == AFTER_SYSTEM_KEYWORD:
+            # mod.rs:1958-2016
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                dt_quirks = True
+                emit_doctype()
+                emit_eof()
+            elif c in _WS:
+                state = BEFORE_SYSTEM_ID
+            elif c == '"':
+                dt_system = ""
+                state = SYSTEM_ID_DQ
+            elif c == "'":
+                dt_system = ""
+                state = SYSTEM_ID_SQ
+            elif c == ">":
+                dt_quirks = True
+                state = DATA
+                emit_doctype()
+            else:
+                dt_quirks = True
+                recon = True
+                state = BOGUS_DOCTYPE
+
+        elif state == BEFORE_SYSTEM_ID:
+            # mod.rs:2019-2074
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                dt_quirks = True
+                emit_doctype()
+                emit_eof()
+            elif c in _WS:
+                pass
+            elif c == '"':
+                dt_system = ""
+                state = SYSTEM_ID_DQ
+            elif c == "'":
+                dt_system = ""
+                state = SYSTEM_ID_SQ
+            elif c == ">":
+                dt_quirks = True
+                state = DATA
+                emit_doctype()
+            else:
+                dt_quirks = True
+                recon = True
+                state = BOGUS_DOCTYPE
+
+        elif state == SYSTEM_ID_DQ:
+            # mod.rs:2077-2117
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                dt_quirks = True
+                emit_doctype()
+                emit_eof()
+            elif c == '"':
+                state = AFTER_SYSTEM_ID
+            elif c == "\x00":
+                if dt_system is not None:
+                    dt_system += REPLACEMENT
+            elif c == ">":
+                dt_quirks = True
+                state = DATA
+                emit_doctype()
+            else:
+                if dt_system is not None:
+                    dt_system += c
+
+        elif state == SYSTEM_ID_SQ:
+            # mod.rs:2120-2160
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                dt_quirks = True
+                emit_doctype()
+                emit_eof()
+            elif c == "'":
+                state = AFTER_SYSTEM_ID
+            elif c == "\x00":
+                if dt_system is not None:
+                    dt_system += REPLACEMENT
+            elif c == ">":
+                dt_quirks = True
+                state = DATA
+                emit_doctype()
+            else:
+                if dt_system is not None:
+                    dt_system += c
+
+        elif state == AFTER_SYSTEM_ID:
+            # mod.rs:2163-2196
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                emit_doctype()
+                emit_eof()
+            elif c in _WS:
+                pass
+            elif c == ">":
+                state = DATA
+                emit_doctype()
+            else:
+                recon = True
+                state = BOGUS_DOCTYPE
+
+        elif state == BOGUS_DOCTYPE:
+            # mod.rs:1672-1702 — swallows until '>'
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                emit_doctype()
+                emit_eof()
+            elif c == ">":
+                state = DATA
+                emit_doctype()
+            # else: ignore
+
+        elif state == NUMERIC_CHAR_REF:
+            # mod.rs:918-942
+            char_ref_code = 0
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                recon = True
+                state = DEC_CHAR_REF_START
+            elif c == "x" or c == "X":
+                temp_buf += c
+                state = HEX_CHAR_REF_START
+            else:
+                recon = True
+                state = DEC_CHAR_REF_START
+
+        elif state == HEX_CHAR_REF_START:
+            # mod.rs:945-961 — EOF arm reconsumes WITHOUT flushing (quirk:
+            # "&#x" at EOF is swallowed)
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                recon = True
+                state = return_state
+            elif c in _ASCII_HEX:
+                recon = True
+                state = HEX_CHAR_REF
+            else:
+                # flush_code_points... then reconsume in return state
+                if temp_buf is not None:
+                    if return_state in _ATTR_VALUE_STATES:
+                        if tok_kind == 1 and tag_attrs:
+                            tag_attrs[-1][1] += temp_buf
+                    else:
+                        emit_chars(temp_buf, amp_src, cur_idx)
+                    temp_buf = None
+                recon = True
+                state = return_state
+
+        elif state == DEC_CHAR_REF_START:
+            # mod.rs:964-981
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                if temp_buf is not None:
+                    if return_state in _ATTR_VALUE_STATES:
+                        if tok_kind == 1 and tag_attrs:
+                            tag_attrs[-1][1] += temp_buf
+                    else:
+                        emit_chars(temp_buf, amp_src, cur_idx)
+                    temp_buf = None
+                recon = True
+                state = return_state
+            elif c in _ASCII_DIGIT:
+                recon = True
+                state = DEC_CHAR_REF
+            else:
+                if temp_buf is not None:
+                    if return_state in _ATTR_VALUE_STATES:
+                        if tok_kind == 1 and tag_attrs:
+                            tag_attrs[-1][1] += temp_buf
+                    else:
+                        emit_chars(temp_buf, amp_src, cur_idx)
+                    temp_buf = None
+                recon = True
+                state = return_state
+
+        elif state == HEX_CHAR_REF:
+            # mod.rs:984-1020 — u32 wraparound like a Rust release build
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                recon = True
+                state = NUMERIC_CHAR_REF_END
+            elif c in _ASCII_DIGIT:
+                char_ref_code = (char_ref_code * 16 + (ord(c) - 0x30)) & 0xFFFFFFFF
+            elif c in _ASCII_HEX:
+                if "A" <= c <= "F":
+                    char_ref_code = (char_ref_code * 16 + (ord(c) - 0x37)) & 0xFFFFFFFF
+                else:
+                    char_ref_code = (char_ref_code * 16 + (ord(c) - 0x57)) & 0xFFFFFFFF
+            elif c == ";":
+                state = NUMERIC_CHAR_REF_END
+            else:
+                recon = True
+                state = NUMERIC_CHAR_REF_END
+
+        elif state == DEC_CHAR_REF:
+            # mod.rs:1023-1045
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                recon = True
+                state = NUMERIC_CHAR_REF_END
+            elif c in _ASCII_DIGIT:
+                char_ref_code = (char_ref_code * 10 + (ord(c) - 0x30)) & 0xFFFFFFFF
+            elif c == ";":
+                state = NUMERIC_CHAR_REF_END
+            else:
+                recon = True
+                state = NUMERIC_CHAR_REF_END
+
+        elif state == NUMERIC_CHAR_REF_END:
+            # mod.rs:1048-1095 — does not consume; reconsume flag (if set by
+            # the digit states) survives into the return state
+            code = char_ref_code
+            if code == 0x00:
+                code = 0xFFFD
+            if code > 0x10FFFF:
+                code = 0xFFFD
+            if is_numeric_surrogate(code):
+                code = 0xFFFD
+            if is_numeric_noncharacter(code):
+                code = 0xFFFD
+            if code == 0x0D or (
+                is_numeric_control(code) and not is_numeric_whitespace(code)
+            ):
+                code = replace_control(code)
+            char_ref_code = code
+            try:
+                decoded = chr(code)
+            except ValueError:
+                decoded = REPLACEMENT
+            # surrogate range is clamped above, but chr() of a surrogate is
+            # legal in Python and was not in Rust — keep the guard cheap
+            temp_buf = decoded
+            if return_state in _ATTR_VALUE_STATES:
+                if tok_kind == 1 and tag_attrs:
+                    tag_attrs[-1][1] += temp_buf
+            else:
+                end = cur_idx + 1 if cur is not None and not recon else cur_idx
+                emit_chars(temp_buf, amp_src, min(end, n))
+            temp_buf = None
+            state = return_state
+
+        elif state == CDATA_SECTION:
+            # mod.rs:2199-2223 — emits chars raw
+            if not recon and pos < n:
+                j = text.find("]", pos)
+                if j == -1:
+                    j = n
+                if j > pos:
+                    emit_chars(text[pos:j], pos, j)
+                    pos = j
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                emit_eof()
+            elif c == "]":
+                state = CDATA_BRACKET
+            else:
+                emit_chars(c, cur_idx, cur_idx + 1)
+                cur = None
+
+        elif state == CDATA_BRACKET:
+            # mod.rs:2226-2249
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                emit_chars("]", cur_idx - 1, cur_idx)
+                recon = True
+                state = CDATA_SECTION
+            elif c == "]":
+                state = CDATA_END
+            else:
+                emit_chars("]", cur_idx - 1, cur_idx)
+                recon = True
+                state = CDATA_SECTION
+
+        elif state == CDATA_END:
+            # mod.rs:2252-2284
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                emit_chars("]]", cur_idx - 2, cur_idx)
+                emit_eof()
+            elif c == "]":
+                emit_chars("]", cur_idx - 1, cur_idx)
+            elif c == ">":
+                state = DATA
+            else:
+                emit_chars("]]", cur_idx - 2, cur_idx)
+                recon = True
+                state = CDATA_SECTION
+
+        else:  # pragma: no cover — unreachable RCDATA/RAWTEXT/script family
+            raise AssertionError(f"unreachable state {state}")
+
+    return tokens, status

@@ -1,0 +1,142 @@
+"""Differential harness: run inputs through the compiled reference probe and
+through our Python tokenizer, compare coalesced token streams.
+
+The probe (see build_probe.sh / probe_main.rs) speaks base64-in / JSON-out,
+one input per line.  Every interaction is timeout-guarded because three
+reference states hang at EOF (SURVEY.md §4.1); on a timeout the probe process
+is killed and restarted, and the case is recorded as ``hang`` — which must
+agree with our tokenizer's ``parse_status == 'hang_in_reference'``.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import selectors
+import subprocess
+import sys
+
+PROBE = os.environ.get("REF_PROBE", "/tmp/refprobe/refcrate/target/release/probe")
+BUILD_SH = os.path.join(os.path.dirname(__file__), "build_probe.sh")
+
+
+def ensure_probe() -> str:
+    if not os.path.exists(PROBE):
+        subprocess.run(["bash", BUILD_SH], check=True, capture_output=True)
+    return PROBE
+
+
+class RefProbe:
+    """Keeps one probe subprocess alive; restarts it after a hang/crash."""
+
+    def __init__(self, timeout: float = 5.0):
+        self.timeout = timeout
+        self.proc: subprocess.Popen | None = None
+
+    def _start(self):
+        self.proc = subprocess.Popen(
+            [ensure_probe()],
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+        )
+
+    def _kill(self):
+        if self.proc is not None:
+            self.proc.kill()
+            self.proc.wait()
+            self.proc = None
+
+    def tokenize(self, text: str):
+        """Return (tokens|None, status) — status in {'ok','hang','panic'}."""
+        if self.proc is None or self.proc.poll() is not None:
+            self._kill()
+            self._start()
+        p = self.proc
+        line = base64.b64encode(text.encode("utf-8")) + b"\n"
+        try:
+            p.stdin.write(line)
+            p.stdin.flush()
+        except BrokenPipeError:
+            self._kill()
+            return None, "panic"
+        sel = selectors.DefaultSelector()
+        sel.register(p.stdout, selectors.EVENT_READ)
+        buf = b""
+        import time
+
+        deadline = time.monotonic() + self.timeout
+        while b"\n" not in buf:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0 or not sel.select(remaining):
+                sel.close()
+                self._kill()
+                return None, "hang"
+            chunk = os.read(p.stdout.fileno(), 65536)
+            if not chunk:  # EOF: process died (panic)
+                sel.close()
+                self._kill()
+                return None, "panic"
+            buf += chunk
+        sel.close()
+        out = buf.split(b"\n", 1)[0]
+        return json.loads(out), "ok"
+
+    def close(self):
+        self._kill()
+
+
+def py_tokens_to_golden(tokens) -> list:
+    """Convert tokenizer.py tuples to the golden JSON shape (drop spans)."""
+    out = []
+    for t in tokens:
+        kind = t[0]
+        if kind == "chars":
+            out.append(["chars", t[1]])
+        elif kind in ("start", "end"):
+            out.append([kind, t[1], [list(a) for a in t[2]], t[3]])
+        elif kind == "comment":
+            out.append(["comment", t[1]])
+        elif kind == "doctype":
+            out.append(["doctype", t[1], t[2], t[3], t[4]])
+        elif kind == "eof":
+            out.append(["eof"])
+    return out
+
+
+def compare_corpus(texts, timeout: float = 5.0, verbose: bool = False):
+    """Differential run; returns (n_match, mismatches list)."""
+    sys.path.insert(0, "/root/repo")
+    from html_parser_spark.functions.tokenizer import tokenize
+
+    probe = RefProbe(timeout=timeout)
+    mismatches = []
+    n_match = 0
+    try:
+        for idx, text in enumerate(texts):
+            ref_toks, ref_status = probe.tokenize(text)
+            py_toks, py_status = tokenize(text)
+            py_golden = py_tokens_to_golden(py_toks)
+            if ref_status == "hang":
+                if py_status == "hang_in_reference":
+                    n_match += 1
+                else:
+                    mismatches.append((idx, text, "ref hang, py " + py_status, None, py_golden))
+            elif ref_status == "panic":
+                if py_status == "panic_in_reference":
+                    n_match += 1
+                else:
+                    mismatches.append((idx, text, "ref panic, py " + py_status, None, py_golden))
+            else:
+                if py_status == "ok" and py_golden == ref_toks:
+                    n_match += 1
+                else:
+                    mismatches.append((idx, text, f"py status={py_status}", ref_toks, py_golden))
+            if verbose and mismatches and mismatches[-1][0] == idx:
+                print(f"MISMATCH #{idx}: {text!r}")
+                print("  ref:", json.dumps(ref_toks, ensure_ascii=False)[:400])
+                print("  py :", json.dumps(py_golden, ensure_ascii=False)[:400])
+    finally:
+        probe.close()
+    return n_match, mismatches
