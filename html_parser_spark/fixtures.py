@@ -1,0 +1,311 @@
+"""Deterministic synthetic `transcripts` table (FIXTURES.md §1/§3).
+
+Generates the BASELINE.json ``input_hint`` schema with a seeded stdlib RNG —
+byte-for-byte reproducible, no external data:
+
+    conv_id:string, turn_idx:int32, role:string, text:string,
+    tool:string, ts:timestamp
+
+``text`` is HTML-ish markup drawn from a weighted fragment grammar whose
+buckets each pin a behavior verified on the reference binary (probe ledger,
+SURVEY.md §2): stack-poisoning void elements, no-semicolon entities, numeric
+clamps, bogus comments, uppercase-D DOCTYPE dispatch, CDATA, NUL bytes,
+Unicode tag names.  Turn-final hang suffixes (``<!``, trailing ``-`` of an
+unterminated comment, ``<!DOCTYPE name␣``) are never emitted (FIXTURES.md §4)
+— the reference loops forever on them; they live in the separate
+``hang_cases`` fixture instead.
+
+Conversation shape: 1% of conversations are "hot" with 100× turn count
+(exercises conv_id skew → salting/AQE), and text length is LogNormal with
+median ≈900 chars and a 64 KB P99 tail (long-text compute skew).
+
+Scale: ``n_turns_target = int(sf * 1_000_000)`` — sf0.001 ≈ 1k turns,
+sf0.01 ≈ 10k, sf0.1 ≈ 100k.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import random
+from datetime import datetime, timedelta, timezone
+
+SEED = 42
+EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+_WORDS = (
+    "the quick brown fox jumps over lazy dog data spark engine turn "
+    "conversation model context token stream parse extract content main "
+    "result answer question tool output agent state machine cluster shuffle "
+    "partition executor arrow batch vector column schema table row metric"
+).split()
+
+_ENTITY_POOL = [
+    "&amp;", "&amp", "&AMP", "&AMP;", "&lt;", "&gt;", "&gt", "&Aacute;",
+    "&Aacute", "&nbsp;", "&frac12;", "&sup1;", "&ampx", "&zzz;", "&quot;",
+    "&copy;", "&copy", "&reg;", "&hellip;", "&mdash;",
+]
+
+_NUMERIC_POOL = [
+    "&#65;", "&#x41;", "&#0;", "&#153;", "&#xD800;", "&#x110000;", "&#38;",
+    "&#x26;", "&#8212;", "&#xFDD0;", "&#13;", "&#x80;",
+]
+
+_BOILER_CLASSES = ["nav", "menu", "footer", "sidebar", "share", "related"]
+
+_HANG_SUFFIX_GUARD = ("<!", "-", " ")  # last-char families to avoid at EOF
+
+
+def _words(rng: random.Random, k: int) -> str:
+    return " ".join(rng.choice(_WORDS) for _ in range(k))
+
+
+def _frag_prose(rng):
+    tag = rng.choice(["p", "p", "p", "b", "i", "h1", "h2", "h3"])
+    if rng.random() < 0.25:
+        inner = (
+            f"<{tag}>{_words(rng, rng.randint(3, 12))}"
+            f"<ul><li>{_words(rng, 3)}</li><li>{_words(rng, 4)}</li></ul></{tag}>"
+        )
+    else:
+        inner = f"<{tag}>{_words(rng, rng.randint(4, 20))}</{tag}>"
+    return inner
+
+
+def _frag_link_nav(rng):
+    cls = rng.choice(_BOILER_CLASSES)
+    links = "".join(
+        f'<a href="/x?a=1&amp;b={i}">{_words(rng, rng.randint(1, 2))}</a> '
+        for i in range(rng.randint(2, 5))
+    )
+    wrapper = rng.choice(["nav", "div", "aside"])
+    return f'<{wrapper} class="{cls}">{links}</{wrapper}>'
+
+
+def _frag_entities(rng):
+    bits = [rng.choice(_ENTITY_POOL) for _ in range(rng.randint(1, 4))]
+    attr_ent = rng.choice(["x&ampy", "&amp=", "x&amp;y", "a&AMPb"])
+    if rng.random() < 0.4:
+        return f'<a title="{attr_ent}">{_words(rng, 2)} {" ".join(bits)}</a>'
+    return f"{_words(rng, 2)} {' '.join(bits)} {_words(rng, 2)}"
+
+
+def _frag_numeric(rng):
+    bits = [rng.choice(_NUMERIC_POOL) for _ in range(rng.randint(1, 3))]
+    return f"<p>{_words(rng, 2)} {''.join(bits)} {_words(rng, 1)}</p>"
+
+
+def _frag_comment(rng):
+    return rng.choice(
+        [
+            f"<!-- {_words(rng, 3)} -->",
+            "<!---->",
+            "<!-->",
+            f"<!- {_words(rng, 1)}>",
+            f"<? pi {_words(rng, 1)} ?>",
+            f"<!-- nested <!-- {_words(rng, 2)} -->",
+            f"<!--{_words(rng, 2)}--!>x",
+        ]
+    )
+
+
+def _frag_void(rng):
+    return rng.choice(
+        [
+            f"<body><br></body><p>{_words(rng, 4)}</p>",
+            f"<img src='{rng.choice(_WORDS)}.png'/>",
+            f"<p/>{_words(rng, 3)}</p>",
+            f"<div><br><br>{_words(rng, 5)}</div>",
+            f"<p>{_words(rng, 3)}<img src=x>{_words(rng, 2)}</p>",
+        ]
+    )
+
+
+def _frag_endtags(rng):
+    return rng.choice(
+        [
+            f"</div><p>{_words(rng, 4)}</p>",
+            f"</p id=3>{_words(rng, 2)}",
+            f"<p>{_words(rng, 3)}</P>",
+            f"<div><p>{_words(rng, 3)}</p></section></div>",
+        ]
+    )
+
+
+def _frag_doctype(rng):
+    return rng.choice(
+        [
+            "<!DOCTYPE html>",
+            "<!doctype html>",
+            '<!DOCTYPE html PUBLIC "-//W3C//DTD HTML 4.01//EN" '
+            '"http://www.w3.org/TR/html4/strict.dtd">',
+            "<!DOCTYPE html SYSTEM 'about:legacy-compat'>",
+            "<!DOCTYPEX>",
+            "<!DOCTYPE >",
+        ]
+    )
+
+
+def _frag_script(rng):
+    body = rng.choice(
+        [
+            "var a = 1 < 2 && b > 3;",
+            "if (x & y) { f('</div>'); }",
+            "p { color: red; } a:hover { x: 1 < 2 }",
+        ]
+    )
+    tag = rng.choice(["script", "style"])
+    return f"<{tag}>{body}</{tag}>"
+
+
+def _frag_cdata(rng):
+    return rng.choice(
+        [
+            f"<![CDATA[{_words(rng, 2)}]]>",
+            "<![CDATA[a]b]]c]]>",
+            f"<![CDATA[{_words(rng, 1)}]]>{_words(rng, 1)}",
+        ]
+    )
+
+
+def _frag_weird(rng):
+    return rng.choice(
+        [
+            f"a\x00b {_words(rng, 2)}",
+            f"<éx>{_words(rng, 2)}</éx>",
+            f"<DIV>{_words(rng, 3)}</DIV>",
+            f"<p\x00q>{_words(rng, 2)}</p\x00q>".replace("\x00", "�")
+            if rng.random() < 0.5
+            else f"<SPAN>{_words(rng, 2)}</SPAN>",
+        ]
+    )
+
+
+def _frag_markdownish(rng):
+    return rng.choice(
+        [
+            f"{_words(rng, 4)} 1 < 2 {_words(rng, 2)}",
+            f"{_words(rng, 3)} a & b {_words(rng, 3)}",
+            f"x > y: {_words(rng, 4)}",
+            f"json: {{'k': '{rng.choice(_WORDS)}', 'n': {rng.randint(0, 99)}}}",
+        ]
+    )
+
+
+_FAMILIES = [
+    (30, _frag_prose),
+    (10, _frag_link_nav),
+    (10, _frag_entities),
+    (8, _frag_numeric),
+    (8, _frag_comment),
+    (8, _frag_void),
+    (6, _frag_endtags),
+    (6, _frag_doctype),
+    (5, _frag_script),
+    (4, _frag_cdata),
+    (3, _frag_weird),
+    (2, _frag_markdownish),
+]
+_FAMILY_FNS = [f for _, f in _FAMILIES]
+_FAMILY_WEIGHTS = [w for w, _ in _FAMILIES]
+
+
+def make_turn_text(rng: random.Random) -> str:
+    # LogNormal length: median 900 → mu=ln(900); sigma tuned so P99 ≈ 64k
+    # (P99 = median * exp(2.326*sigma) → sigma ≈ 1.83)
+    target = int(math.exp(rng.gauss(math.log(900), 1.4)))
+    target = max(16, min(target, 65536))
+    parts: list[str] = []
+    size = 0
+    while size < target:
+        frag = rng.choices(_FAMILY_FNS, weights=_FAMILY_WEIGHTS, k=1)[0](rng)
+        parts.append(frag)
+        size += len(frag) + 1
+    text = " ".join(parts)
+    # never end on a hang-hazard suffix (FIXTURES.md §4)
+    while text.endswith(("<!", "-", " ")) or (
+        text.endswith("-") and "<!--" in text[-64:]
+    ):
+        text = text.rstrip("- ")
+        if text.endswith("<!"):
+            text = text[:-2]
+        if not text:
+            text = "fallback turn text"
+    return text
+
+
+HANG_CASES = [
+    ("hang_markup_decl", "some text then <!"),
+    ("hang_comment_dash", "<!--never closed -"),
+    ("hang_doctype_ws", "<!DOCTYPE html "),
+]
+
+
+def gen_rows(sf: float):
+    """Yield transcript rows, deterministic for a given sf."""
+    rng = random.Random(SEED)
+    n_target = int(sf * 1_000_000)
+    roles = ("user", "assistant", "tool")
+    produced = 0
+    conv_seq = 0
+    while produced < n_target:
+        conv_id = f"conv{conv_seq:06d}"
+        hot = rng.random() < 0.01
+        n_turns = int(math.exp(rng.gauss(2.0, 1.0)))
+        n_turns = max(1, min(n_turns, 64))
+        if hot:
+            n_turns *= 100
+        base_ts = EPOCH + timedelta(seconds=conv_seq * 60)
+        for turn_idx in range(n_turns):
+            role = roles[turn_idx % 3]
+            tool = f"tool{rng.randint(0, 9)}" if role == "tool" else ""
+            yield {
+                "conv_id": conv_id,
+                "turn_idx": turn_idx,
+                "role": role,
+                "text": make_turn_text(rng),
+                "tool": tool,
+                "ts": base_ts + timedelta(seconds=turn_idx),
+            }
+            produced += 1
+            if produced >= n_target:
+                break
+        conv_seq += 1
+
+
+def write_parquet(sf: float, out_dir: str) -> str:
+    """Materialize transcripts at ``sf`` as a single parquet file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "transcripts.parquet")
+    schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("role", pa.string()),
+            ("text", pa.string()),
+            ("tool", pa.string()),
+            ("ts", pa.timestamp("us", tz="UTC")),
+        ]
+    )
+    cols = {k: [] for k in ("conv_id", "turn_idx", "role", "text", "tool", "ts")}
+    for row in gen_rows(sf):
+        for k, v in row.items():
+            cols[k].append(v)
+    table = pa.Table.from_pydict(cols, schema=schema)
+    pq.write_table(table, path, row_group_size=8192)
+    return path
+
+
+def ensure_transcripts(sf: float, cache_root: str | None = None) -> str:
+    """Generate-once cache; returns the parquet path."""
+    cache_root = cache_root or os.environ.get(
+        "SPARK_GRAFT_DATA_DIR", "/root/repo/data"
+    )
+    out_dir = os.path.join(cache_root, f"transcripts_sf{sf}")
+    path = os.path.join(out_dir, "transcripts.parquet")
+    if not os.path.exists(path):
+        write_parquet(sf, out_dir)
+    return path

@@ -164,7 +164,12 @@ def _is_alphanumeric(c: str) -> bool:
 
 
 def tokenize(text: str):
-    """Run the automaton over ``text``; return ``(tokens, parse_status)``.
+    """Run the automaton over ``text``; return
+    ``(tokens, parse_status, err_count)``.
+
+    ``err_count`` counts end tags silently dropped by the open-tags stack
+    filter (the reference's signature quirk, mod.rs:3756-3779) — the only
+    parse-error signal the reference's output shape exposes.
 
     Always terminates (see module docstring for the divergence ledger).
     """
@@ -210,6 +215,7 @@ def tokenize(text: str):
     dt_quirks = False
 
     status = OK
+    err_count = 0  # end tags dropped by the stack filter
     amp_src = -1  # source index of the '&' opening the current char ref
 
     def emit_chars(s: str, src_start: int, src_end: int):
@@ -221,7 +227,7 @@ def tokenize(text: str):
 
     def emit_current_tag():
         # reference: emit_current_tag_token mod.rs:3756-3779 — THE stack quirk
-        nonlocal tok_kind
+        nonlocal tok_kind, err_count
         if tok_kind != 1:
             tok_kind = 0
             return
@@ -232,7 +238,8 @@ def tokenize(text: str):
                     open_tags.pop()
                     flush_run()
                     out(("end", tag_name, tag_attrs, tag_self_closing))
-                # else: silently dropped
+                else:
+                    err_count += 1  # silently dropped by the reference
             else:
                 open_tags.append(tag_name)
                 flush_run()
@@ -2007,4 +2014,4 @@ def tokenize(text: str):
         else:  # pragma: no cover — unreachable RCDATA/RAWTEXT/script family
             raise AssertionError(f"unreachable state {state}")
 
-    return tokens, status
+    return tokens, status, err_count

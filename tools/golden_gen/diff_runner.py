@@ -116,7 +116,7 @@ def compare_corpus(texts, timeout: float = 5.0, verbose: bool = False):
     try:
         for idx, text in enumerate(texts):
             ref_toks, ref_status = probe.tokenize(text)
-            py_toks, py_status = tokenize(text)
+            py_toks, py_status, _err = tokenize(text)
             py_golden = py_tokens_to_golden(py_toks)
             if ref_status == "hang":
                 if py_status == "hang_in_reference":
