@@ -1,38 +1,129 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship main-content extraction over the synthesized
+``transcripts`` table (BASELINE.json input_hint schema — deterministic,
+seeded, no external data).  ``queries``/``oracle_sql`` cover the operator
+inventory: extraction (rows-only — tokenization is not SQL-expressible),
+the training-data-pipeline operators (dedup / similarity / text analysis /
+multimodal plumbing), and the relational coverage set, each with an exact
+DuckDB oracle where expressible.
 """
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from html_parser_spark.fixtures import ensure_transcripts
+from html_parser_spark.operators import (
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    textstats,
+)
+from html_parser_spark.operators.pipeline import extraction_metrics, run_extraction
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1).rstrip(".")) if m else 0.01
+
+
+def _transcripts(spark: SparkSession, sf: float) -> DataFrame:
+    return spark.read.parquet(ensure_transcripts(sf))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: extract main content from every turn at sf0.001."""
+    return run_extraction(_transcripts(spark, 0.001), num_partitions=8)
+
+
+def _extract_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_extraction(_transcripts(spark, _sf_of(sf_dir)))
+
+
+def _extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extraction_metrics(
+        run_extraction(_transcripts(spark, _sf_of(sf_dir)))
+    ).orderBy("parse_status")
+
+
+def _token_stats(spark, sf_dir):
+    return textstats.token_stats(spark, sf_dir)
+
+
+TOKEN_STATS_SQL = """
+    SELECT doc_id,
+           length(text) AS char_count,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS token_count,
+           CAST(floor((CASE WHEN trim(text) = '' THEN 0.0
+                ELSE list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                             w -> CAST(length(w) AS DOUBLE)))
+                     / len(regexp_split_to_array(trim(text), '\\s+')) END) * 10000)
+                AS BIGINT) AS avg_token_len_bp
+    FROM documents
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # flagship extraction (tokenizer not SQL-expressible → rows-only)
+        "extract_turns": _extract_turns,
+        "extract_metrics": _extract_metrics,
+        # deduplication family
+        "dedup_exact": dedup.exact_duplicates,
+        "dedup_minhash_signatures": dedup.minhash_signatures,
+        "dedup_minhash_candidates": dedup.minhash_candidates,
+        "dedup_ngram_jaccard": dedup.ngram_jaccard,
+        "dedup_simhash": dedup.simhash_sketches,
+        "dedup_embedding_cosine": similarity.embedding_near_dups,
+        # similarity search
+        "ann_cosine_topk": similarity.cosine_topk,
+        "ann_lsh_topk": similarity.lsh_topk,
+        # text analysis
+        "text_token_stats": _token_stats,
+        "text_quality_scores": textstats.quality_scores,
+        "text_langid": textstats.langid,
+        "text_fingerprints": textstats.fingerprints,
+        # multimodal plumbing (binary payload → mapInPandas metadata)
+        "multimodal_metadata": multimodal.payload_metadata,
+        # relational coverage (SURVEY.md §2.6)
+        "rel_pricing_summary": relational.pricing_summary,
+        "rel_top_revenue_nations": relational.top_revenue_nations,
+        "rel_customers_without_orders": relational.customers_without_orders,
+        "rel_parts_with_shipments": relational.parts_with_shipments,
+        "rel_user_event_windows": relational.user_event_windows,
+        "rel_events_daily_rollup": relational.events_daily_rollup,
+        "rel_event_type_setops": relational.event_type_setops,
+        "rel_json_props_stats": relational.json_props_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "dedup_exact": dedup.exact_duplicates_sql(),
+        "dedup_minhash_signatures": dedup.minhash_signatures_sql(),
+        "dedup_minhash_candidates": dedup.minhash_candidates_sql(),
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_sql(),
+        "dedup_embedding_cosine": similarity.embedding_near_dups_sql(),
+        "ann_cosine_topk": similarity.cosine_topk_sql(),
+        "text_token_stats": TOKEN_STATS_SQL,
+        "text_quality_scores": textstats.quality_scores_sql(),
+        "text_langid": textstats.langid_sql(),
+        "text_fingerprints": textstats.fingerprints_sql(),
+        "multimodal_metadata": multimodal.payload_metadata_sql(),
+        "rel_pricing_summary": relational.pricing_summary_sql(),
+        "rel_top_revenue_nations": relational.top_revenue_nations_sql(),
+        "rel_customers_without_orders": relational.customers_without_orders_sql(),
+        "rel_parts_with_shipments": relational.parts_with_shipments_sql(),
+        "rel_user_event_windows": relational.user_event_windows_sql(),
+        "rel_events_daily_rollup": relational.events_daily_rollup_sql(),
+        "rel_event_type_setops": relational.event_type_setops_sql(),
+        "rel_json_props_stats": relational.json_props_stats_sql(),
+        # no oracle (not SQL-expressible): extract_turns, extract_metrics,
+        # dedup_simhash (bit-twiddling UDF), ann_lsh_topk (plane constants)
+    }

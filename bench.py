@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric (BASELINE.json): extraction turns/sec over the synthetic
+``transcripts`` table at the SF implied by ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1 → sf=0.1 → ~100k turns), on
+``local[$SPARK_GRAFT_CPUS]``.  Also times the other headline operators
+(dedup / similarity / text analysis) at the same SF for regression
+tracking.
+
+Usage: python bench.py            # one JSON line on stdout
+       python bench.py --master local[8]   # scaling-evidence runs
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--skip-secondary", action="store_true")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entry_mod
+    from html_parser_spark.fixtures import ensure_transcripts
+    from html_parser_spark.operators.pipeline import run_extraction
+    from html_parser_spark.plans.session import get_spark
+    from pyspark.sql import functions as F
+
+    sf = entry_mod._sf_of(args.sf_dir)
+    tpath = ensure_transcripts(sf)  # cached; generated once
+
+    spark = get_spark(app_name="bench", master=args.master)
+    ncores = spark.sparkContext.defaultParallelism
+
+    transcripts = spark.read.parquet(tpath)
+    n_turns = transcripts.count()
+    n_bytes = transcripts.select(
+        F.sum(F.length("text")).alias("b")
+    ).first()["b"]
+
+    # warm the JVM + Python workers once (tiny slice), then measure
+    run_extraction(transcripts.limit(256)).count()
+
+    t0 = time.time()
+    extracted = run_extraction(transcripts)
+    # force full materialization incl. spans/main_text, not just count
+    agg = extracted.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("main_text")).alias("chars"),
+        F.sum("err_count").alias("errs"),
+    ).first()
+    extract_sec = time.time() - t0
+    assert agg["n"] == n_turns
+
+    queries = {"extract_turns": round(extract_sec, 3)}
+
+    if not args.skip_secondary:
+        secondary = [
+            "dedup_exact",
+            "dedup_minhash_candidates",
+            "ann_cosine_topk",
+            "text_quality_scores",
+            "rel_pricing_summary",
+            "rel_top_revenue_nations",
+        ]
+        qmap = entry_mod.queries()
+        for name in secondary:
+            t0 = time.time()
+            df = qmap[name](spark, args.sf_dir)
+            df.count()
+            queries[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "extraction_turns_per_sec",
+        "value": round(n_turns / extract_sec, 1),
+        "unit": "turns/sec",
+        "queries": queries,
+        "sf": sf,
+        "turns": n_turns,
+        "bytes": int(n_bytes),
+        "mb_per_sec": round(n_bytes / extract_sec / 1e6, 2),
+        "extract_wall_sec": round(extract_sec, 3),
+        "master": args.master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        "parallelism": ncores,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,263 @@
+"""Deduplication operators over the ``documents`` table.
+
+Four families, scale-ranked:
+
+- **exact** — hash-groupBy on a normalized fingerprint.  One shuffle on a
+  16-byte key; at 100 TB this is the cheapest possible dedup and the
+  partial aggregation (map-side combine) means only (hash, count, min_id)
+  tuples ever shuffle, never text.
+- **MinHash + LSH** — word-3-shingles → k min-hashes → banded keys →
+  bucket self-join.  The self-join is on band keys, so candidate
+  generation is linear-ish (no quadratic cross join); exact Jaccard is
+  then computed only for bucket collisions.
+- **SimHash** — 64-bit sign-sketch over word hashes; near-dups have small
+  Hamming distance.  Computed in a vectorized pandas UDF (bit-twiddling
+  is not expressible as cheap built-ins); driver check is rows-only, the
+  pytest oracle is a pure-Python reimplementation.
+- **embedding cosine** — see :mod:`.similarity`.
+
+Parity rule for SQL-oracled ops: hashing is md5 hex (identical in Spark
+and DuckDB), min over hex strings is lexicographic in both, shingling is
+identical split/transform arithmetic.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+N_HASHES = 8
+N_BANDS = 4  # rows per band = N_HASHES // N_BANDS = 2
+
+
+def _norm():
+    return F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+
+
+NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Groups of exact (whitespace/case-normalized) duplicates."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select("doc_id", F.md5(_norm()).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def exact_duplicates_sql(table: str = "documents") -> str:
+    return f"""
+    SELECT md5({NORM_SQL}) AS text_hash,
+           count(*) AS n_docs,
+           min(doc_id) AS keep_doc_id
+    FROM {table}
+    GROUP BY 1 HAVING count(*) > 1
+    """
+
+
+def _shingles():
+    """Word 3-shingles of the normalized text; docs with <3 words use the
+    whole normalized text as their single shingle.
+
+    Built with slice+zip_with rather than transform(sequence, i ->
+    element_at(ws, i)) — in a lambda body the outer ``ws`` expression is
+    re-evaluated per *element*, turning shingling O(words × text_len);
+    the zip_with form evaluates each split once per row."""
+    ws = F.split(_norm(), " ")
+    n = F.size(ws) - 2
+    sh = F.zip_with(
+        F.zip_with(
+            F.slice(ws, 1, n),
+            F.slice(ws, 2, n),
+            lambda x, y: F.concat_ws(" ", x, y),
+        ),
+        F.slice(ws, 3, n),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    return F.when(F.size(ws) < 3, F.array(_norm())).otherwise(F.array_distinct(sh))
+
+
+SHINGLES_SQL = f"""
+    CASE WHEN len(string_split({NORM_SQL}, ' ')) < 3
+         THEN [{NORM_SQL}]
+         ELSE list_distinct(list_transform(
+                range(0, len(string_split({NORM_SQL}, ' ')) - 2),
+                i -> string_split({NORM_SQL}, ' ')[i + 1] || ' ' ||
+                     string_split({NORM_SQL}, ' ')[i + 2] || ' ' ||
+                     string_split({NORM_SQL}, ' ')[i + 3]))
+    END
+"""
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature: for seed s, min over shingles of
+    md5('s|' || shingle) — md5-hex min is a valid exchangeable hash family
+    and is bit-identical in DuckDB."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = _shingles()
+    cols = [
+        F.array_min(
+            F.transform(sh, lambda x: F.md5(F.concat(F.lit(f"{s}|"), x)))
+        ).alias(f"mh{s}")
+        for s in range(N_HASHES)
+    ]
+    return docs.select("doc_id", *cols)
+
+
+def minhash_signatures_sql(table: str = "documents") -> str:
+    cols = ",\n           ".join(
+        f"list_min(list_transform({SHINGLES_SQL}, x -> md5('{s}|' || x))) AS mh{s}"
+        for s in range(N_HASHES)
+    )
+    return f"SELECT doc_id,\n           {cols}\nFROM {table}"
+
+
+def minhash_band_keys(sig: DataFrame) -> DataFrame:
+    """Signature → (doc_id, band, band_key); band_key = md5 of the band's
+    concatenated min-hashes.  Self-join on (band, band_key) yields LSH
+    candidates."""
+    rows_per_band = N_HASHES // N_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.explode(bands).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+
+
+def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs (doc_a < doc_b) — docs sharing ≥1 band key."""
+    keys = minhash_band_keys(minhash_signatures(spark, sf_dir))
+    a = keys.alias("a")
+    b = keys.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_candidates_sql(table: str = "documents") -> str:
+    sig = minhash_signatures_sql(table)
+    rows_per_band = N_HASHES // N_BANDS
+    band_structs = ", ".join(
+        "{'band': %d, 'band_key': md5(%s)}"
+        % (
+            b,
+            " || '|' || ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for b in range(N_BANDS)
+    )
+    return f"""
+    WITH sig AS ({sig}),
+    keys AS (
+      SELECT doc_id, bk['band'] AS band, bk['band_key'] AS band_key
+      FROM sig, unnest([{band_structs}]) AS t(bk)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM keys a JOIN keys b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """
+
+
+def ngram_jaccard(spark: SparkSession, sf_dir: str, threshold: float = 0.0) -> DataFrame:
+    """Exact shingle-set Jaccard for LSH candidate pairs (verification
+    stage of MinHash dedup).  Only bucket collisions are scored — never
+    the full cross product."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", _shingles().alias("sh")
+    )
+    cand = minhash_candidates(spark, sf_dir)
+    j = (
+        cand.join(docs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(docs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1))
+                * 10000
+            ).cast("long").alias("jaccard_bp"),
+        )
+    )
+    return j.filter(F.col("jaccard_bp") >= threshold * 10000).select(
+        "doc_a", "doc_b", "jaccard_bp"
+    )
+
+
+def ngram_jaccard_sql(table: str = "documents") -> str:
+    return f"""
+    WITH cand AS ({minhash_candidates_sql(table)}),
+    sh AS (SELECT doc_id, {SHINGLES_SQL} AS s FROM {table})
+    SELECT c.doc_a, c.doc_b,
+           CAST(floor(len(list_intersect(a.s, b.s)) * 1.0 /
+                 greatest(len(list_distinct(a.s || b.s)), 1) * 10000) AS BIGINT)
+               AS jaccard_bp
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b
+    """
+
+
+# ---------------------------------------------------------------- simhash
+
+
+def simhash64(words: list) -> int:
+    """Pure-Python 64-bit SimHash over md5-derived word hashes (shared by
+    the pandas UDF and the pytest oracle)."""
+    import hashlib
+
+    acc = [0] * 64
+    for w in words:
+        h = int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8], "big")
+        for i in range(64):
+            acc[i] += 1 if (h >> i) & 1 else -1
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+@pandas_udf(StringType())
+def _simhash_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    for texts in batches:
+        out = []
+        for t in texts:
+            words = (t or "").lower().split()
+            out.append(format(simhash64(words), "016x"))
+        yield pd.Series(out)
+
+
+def simhash_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → 64-bit SimHash sketch (hex).  Near-dup scan pairs docs
+    whose sketches differ in ≤3 bits; at scale, bucket on 16-bit sketch
+    quarters (pigeonhole: any ≤3-bit-different pair shares a quarter)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", _simhash_udf(F.col("text")).alias("simhash"))

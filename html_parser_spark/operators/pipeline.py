@@ -1,0 +1,146 @@
+"""The flagship operator: transcripts table → extracted main-content table.
+
+Spark-first design (SURVEY.md §3.4): the whole job is scan → salted
+repartition → sortWithinPartitions → one vectorized pandas UDF → project.
+No RDDs, no custom Catalyst rules — Catalyst keeps column pruning and
+predicate pushdown on the scan because the UDF consumes exactly one column
+(``text``) and everything else passes through untouched.
+
+Scale notes (10^12-turn target, BASELINE.json north_rule):
+
+- **Turn-level parallelism is safe**: the reference tokenizer
+  (mod.rs:17-37) holds no cross-turn state, so rows can be partitioned
+  arbitrarily.  Conversation skew (1% of conversations have 100× turns)
+  and text-length skew (64 KB P99 tail) are both *compute* skew inside the
+  Python worker — invisible to AQE, which only rebalances shuffle bytes.
+  The salted repartition below spreads any single conversation over
+  ``salt_k`` partitions while keeping (conv_id, salt) groups intact, and
+  ``sortWithinPartitions(conv_id, turn_idx)`` restores the stable turn
+  ordering the north_star requires.
+- **One shuffle total.**  The repartition is the only exchange in the
+  plan; the UDF and the projection pipeline on top of it.
+- **Arrow batches bound worker memory**: see plans/session.py.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.extract import extract
+
+SPAN = StructType(
+    [
+        StructField("start", IntegerType()),
+        StructField("end", IntegerType()),
+        StructField("kind", StringType()),
+    ]
+)
+
+EXTRACT_SCHEMA = StructType(
+    [
+        StructField("main_text", StringType()),
+        StructField("spans", ArrayType(SPAN)),
+        StructField("err_count", IntegerType()),
+        StructField("parse_status", StringType()),
+        StructField("n_tokens", IntegerType()),
+        StructField("n_blocks", IntegerType()),
+        StructField("n_kept_blocks", IntegerType()),
+    ]
+)
+
+_COLS = [f.name for f in EXTRACT_SCHEMA.fields]
+
+
+def _extract_frame(texts: pd.Series) -> pd.DataFrame:
+    rows = []
+    for t in texts:
+        if t is None:
+            rows.append(("", [], 0, "null_input", 0, 0, 0))
+            continue
+        r = extract(t)
+        rows.append(
+            (
+                r["main_text"],
+                [tuple(s) for s in r["spans"]],
+                r["err_count"],
+                r["parse_status"],
+                r["n_tokens"],
+                r["n_blocks"],
+                r["n_kept_blocks"],
+            )
+        )
+    return pd.DataFrame(rows, columns=_COLS)
+
+
+@pandas_udf(EXTRACT_SCHEMA)
+def extract_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    """SCALAR_ITER pandas UDF: one Arrow batch of turn texts in, one batch
+    of extraction structs out.  Iterator form amortizes per-task setup
+    (entity dict + dispatch tables are module globals, imported once per
+    Python worker, ~100 KB — no broadcast needed, SURVEY.md §1.2)."""
+    for texts in batches:
+        yield _extract_frame(texts)
+
+
+def run_extraction(
+    df: DataFrame,
+    *,
+    num_partitions: int | None = None,
+    salt_k: int = 8,
+    passthrough: tuple = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """transcripts DataFrame → extracted DataFrame.
+
+    Output columns: ``passthrough + (main_text, spans, err_count,
+    parse_status, n_tokens, n_blocks, n_kept_blocks)``.
+
+    ``salt_k`` splits each conversation across up to ``salt_k`` shuffle
+    partitions (long-conversation skew); within a partition rows are
+    sorted by (conv_id, turn_idx) — the north_star's stable turn ordering.
+    """
+    cols = list(dict.fromkeys([*passthrough, "text"]))
+    pruned = df.select(*cols)
+    salt = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(salt_k))
+    if num_partitions is None:
+        # ALWAYS pass an explicit count: a column-only repartition is
+        # AQE-coalescible, and compressed text shuffles are small enough
+        # (~4:1) that AQE would merge the whole table into 1-2 partitions
+        # and serialize the (much heavier) Python tokenize stage behind
+        # them.  Shuffle bytes are a bad proxy for UDF compute.
+        sc = pruned.sparkSession.sparkContext
+        num_partitions = max(
+            sc.defaultParallelism * 2,
+            int(pruned.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        )
+    parted = pruned.repartition(num_partitions, F.col("conv_id"), salt)
+    ordered = parted.sortWithinPartitions("conv_id", "turn_idx")
+    ext = ordered.withColumn("ext", extract_udf(F.col("text")))
+    return ext.select(
+        *[c for c in cols if c != "text"],
+        *[F.col(f"ext.{name}").alias(name) for name in _COLS],
+    )
+
+
+def extraction_metrics(extracted: DataFrame) -> DataFrame:
+    """Per-status metrics rollup (north_star: turns processed, parse
+    errors, bytes of main text) — pure built-in aggregates, map-side
+    partial agg + final, one small shuffle."""
+    return extracted.groupBy("parse_status").agg(
+        F.count(F.lit(1)).alias("turns"),
+        F.sum("err_count").alias("dropped_end_tags"),
+        F.sum(F.length("main_text")).alias("main_text_chars"),
+        F.sum("n_tokens").alias("tokens"),
+        F.sum("n_kept_blocks").alias("kept_blocks"),
+        F.sum("n_blocks").alias("blocks"),
+    )

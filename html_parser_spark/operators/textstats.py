@@ -1,0 +1,188 @@
+"""Text-analysis operators over the ``documents`` table.
+
+All of these are pure built-in-function pipelines (zero Python in the hot
+path — whole-stage codegen end to end), and each has an exact ANSI-SQL
+twin in ``__spark_entry__.oracle_sql`` so the driver can differentially
+check values against DuckDB.  Design rule for parity: only deterministic
+primitives that exist identically in both engines (md5 hex, regexp with
+trivial patterns, lexicographic min, integer arithmetic, ROUND on
+double).
+
+At 100 TB these stay embarrassingly parallel: no shuffle at all for the
+per-doc feature queries (scan → project), one partial+final aggregation
+for the rollups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# shared stopword lists — mirrored literally in the SQL oracles
+STOP_EN = ("the", "and", "of", "to", "is", "in", "that", "it", "for", "was")
+STOP_FR = ("le", "la", "les", "de", "des", "et", "est", "une", "que", "pour")
+STOP_DE = ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu")
+STOP_ES = ("el", "la", "los", "de", "que", "es", "una", "por", "con", "para")
+
+
+def _sql_list(words) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def _tokens_expr() -> str:
+    return "split(trim(text), '\\\\s+')"
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting + length features per document."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.when(F.trim("text") == "", F.array()).otherwise(
+        F.split(F.trim("text"), r"\s+")
+    )
+    avg_len = F.when(
+        F.size(toks) > 0,
+        F.aggregate(
+            F.transform(toks, lambda w: F.length(w).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.size(toks),
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("char_count"),
+        F.size(toks).cast("long").alias("token_count"),
+        # basis points via floor: deterministic across engines (ROUND
+        # tie-breaking differs between Spark HALF_UP and DuckDB)
+        F.floor(avg_len * 10000).cast("long").alias("avg_token_len_bp"),
+    )
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jusText/Boilerpipe-style quality features: punctuation density,
+    alphabetic ratio, stopword ratio, and a composite score."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = F.greatest(F.length("text"), F.lit(1))
+    punct = F.length("text") - F.length(F.regexp_replace("text", r"[.,;:!?]", ""))
+    alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+    toks = F.when(F.trim("text") == "", F.array()).otherwise(
+        F.split(F.lower(F.trim("text")), r"\s+")
+    )
+    stop_hits = F.size(F.filter(toks, lambda w: w.isin(*STOP_EN)))
+    tok_n = F.greatest(F.size(toks), F.lit(1))
+    punct_ratio = punct.cast("double") / n
+    alpha_ratio = alpha.cast("double") / n
+    stop_ratio = stop_hits.cast("double") / tok_n
+    # all ratios exported as floor basis points (see token_stats note)
+    return docs.select(
+        "doc_id",
+        F.floor(punct_ratio * 10000).cast("long").alias("punct_bp"),
+        F.floor(alpha_ratio * 10000).cast("long").alias("alpha_bp"),
+        F.floor(stop_ratio * 10000).cast("long").alias("stop_bp"),
+        F.floor(
+            (alpha_ratio * 0.5 + stop_ratio * 0.4 - punct_ratio * 0.1) * 10000
+        ).cast("long").alias("quality_bp"),
+    )
+
+
+def quality_scores_sql(table: str = "documents") -> str:
+    punct = ("(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) "
+             "* 1.0 / greatest(length(text), 1)")
+    alpha = ("length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 "
+             "/ greatest(length(text), 1)")
+    stop = (f"len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+            f"w -> w IN ({_sql_list(STOP_EN)}))) * 1.0 "
+            "/ greatest(CASE WHEN trim(text) = '' THEN 0 "
+            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 1)")
+    return f"""
+    SELECT doc_id,
+           CAST(floor(({punct}) * 10000) AS BIGINT) AS punct_bp,
+           CAST(floor(({alpha}) * 10000) AS BIGINT) AS alpha_bp,
+           CAST(floor(({stop}) * 10000) AS BIGINT) AS stop_bp,
+           CAST(floor((({alpha}) * 0.5 + ({stop}) * 0.4 - ({punct}) * 0.1) * 10000)
+                AS BIGINT) AS quality_bp
+    FROM {table}
+    """
+
+
+def langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-free heuristic language ID: stopword-hit argmax over
+    {en,fr,de,es} with a fixed tie-break order."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.when(F.trim("text") == "", F.array()).otherwise(
+        F.split(F.lower(F.trim("text")), r"\s+")
+    )
+    def _hits(stops):
+        # NB: the lambda must take exactly one arg — a second parameter
+        # makes Spark pass the element index instead
+        return F.size(F.filter(toks, lambda w: w.isin(*stops)))
+
+    hits = {
+        lang: _hits(stops)
+        for lang, stops in (
+            ("en", STOP_EN),
+            ("fr", STOP_FR),
+            ("de", STOP_DE),
+            ("es", STOP_ES),
+        )
+    }
+    best = (
+        F.when(
+            (hits["en"] >= hits["fr"])
+            & (hits["en"] >= hits["de"])
+            & (hits["en"] >= hits["es"]),
+            F.lit("en"),
+        )
+        .when((hits["fr"] >= hits["de"]) & (hits["fr"] >= hits["es"]), F.lit("fr"))
+        .when(hits["de"] >= hits["es"], F.lit("de"))
+        .otherwise(F.lit("es"))
+    )
+    pred = F.when(
+        (hits["en"] + hits["fr"] + hits["de"] + hits["es"]) == 0, F.lit("und")
+    ).otherwise(best)
+    return docs.select(
+        "doc_id",
+        "lang",
+        pred.alias("pred_lang"),
+        hits["en"].cast("long").alias("en_hits"),
+    )
+
+
+def langid_sql(table: str = "documents") -> str:
+    def hits(stops):
+        return (
+            f"len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+            f"w -> w IN ({_sql_list(stops)})))"
+        )
+
+    en, fr, de, es = hits(STOP_EN), hits(STOP_FR), hits(STOP_DE), hits(STOP_ES)
+    return f"""
+    SELECT doc_id, lang,
+           CASE WHEN ({en} + {fr} + {de} + {es}) = 0 THEN 'und'
+                WHEN {en} >= {fr} AND {en} >= {de} AND {en} >= {es} THEN 'en'
+                WHEN {fr} >= {de} AND {fr} >= {es} THEN 'fr'
+                WHEN {de} >= {es} THEN 'de'
+                ELSE 'es' END AS pred_lang,
+           {en} AS en_hits
+    FROM {table}
+    """
+
+
+def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over the whitespace-normalized lowercase
+    text — the exact-dedup key, exposed as its own operator."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.length(norm).cast("long").alias("norm_len"),
+    )
+
+
+def fingerprints_sql(table: str = "documents") -> str:
+    return f"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS norm_len
+    FROM {table}
+    """

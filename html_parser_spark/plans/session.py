@@ -1,0 +1,57 @@
+"""SparkSession factory with the engine's tuned defaults.
+
+One place to set every scale-relevant knob so tests, bench, and the
+spark-submit job all run the same plan shape (SURVEY.md §4.2):
+
+- Arrow on for all pandas-UDF transfer (the executor↔Python boundary is
+  Arrow record batches, never pickled rows).
+- ``maxRecordsPerBatch`` bounds Python-worker memory: turn texts have a
+  64 KB P99 tail, so 4096 rows/batch ≈ 8 MB typical / ~50 MB worst case.
+- AQE on (partition coalescing + skew-join splitting) — handles *shuffle*
+  skew at runtime; per-row compute skew inside the UDF is handled by the
+  salted repartition in :mod:`..operators.pipeline` instead, because AQE
+  cannot see Python compute time.
+- ``shuffle_partitions`` is still set explicitly (AQE coalesces down from
+  it, never up): cluster formula ≈ input_bytes / 128 MB; in the local[32]
+  sandbox 32–64 is right.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "html-parser-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    max_records_per_batch: int = 4096,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    master = master or f"local[{DEFAULT_CPUS}]"
+    shuffle_partitions = shuffle_partitions or int(DEFAULT_CPUS)
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(max_records_per_batch),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # 128 MB parquet split target — same figure the shuffle-partition
+        # formula uses, so scan and shuffle parallelism stay aligned
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

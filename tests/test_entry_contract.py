@@ -1,0 +1,88 @@
+"""Mirror of the driver's correctness gate: run every ``queries()`` entry
+on Spark and its ``oracle_sql()`` twin on DuckDB over the same parquet,
+compare row count, column names, and order-insensitive values.
+
+Runs at sf0.001 by default for speed (the driver uses sf0.01 — set
+SPARK_GRAFT_TEST_SF_DIR to match it exactly)."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _canon(v):
+    if v is None:
+        return "\0null"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # driver-style value canonicalization: fixed decimal formatting
+        return f"{v:.6f}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def _rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        "\x01".join(_canon(r[i]) for i in order) for r in rows
+    )
+
+
+ORACLED = sorted(entry_mod.oracle_sql())
+ROWS_ONLY = sorted(set(entry_mod.queries()) - set(entry_mod.oracle_sql()))
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_matches_oracle(spark, duck, name):
+    q = entry_mod.queries()[name]
+    sdf = q(spark, SF_DIR)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    res = duck.execute(entry_mod.oracle_sql()[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    assert len(srows) == len(drows), f"{name}: row counts differ"
+    sset, dset = _rowset(scols, srows), _rowset(dcols, drows)
+    mismatches = [
+        (a, b) for a, b in zip(sset, dset) if a != b
+    ]
+    assert not mismatches, f"{name}: {len(mismatches)} value mismatches; first: {mismatches[0]}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    df = entry_mod.queries()[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert "main_text" in df.columns

@@ -1,0 +1,89 @@
+"""End-to-end Spark pipeline tests (SURVEY.md §7 step 3).
+
+Equality gate: the distributed pipeline must produce byte-identical
+(main_text, spans, err_count, parse_status) to the pure-Python extractor
+for every (conv_id, turn_idx) — the same per-turn text-equality contract
+the driver applies against reference goldens.
+"""
+
+import os
+
+import pytest
+
+from html_parser_spark.fixtures import ensure_transcripts
+from html_parser_spark.functions.extract import extract
+from html_parser_spark.operators.pipeline import (
+    extraction_metrics,
+    run_extraction,
+)
+
+SF = 0.001
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    path = ensure_transcripts(SF)
+    return spark.read.parquet(path)
+
+
+@pytest.fixture(scope="module")
+def extracted(spark, transcripts):
+    return run_extraction(transcripts, num_partitions=8).cache()
+
+
+def test_row_level_equality_vs_pure_python(transcripts, extracted):
+    raw = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in transcripts.select("conv_id", "turn_idx", "text").collect()
+    }
+    got = extracted.collect()
+    assert len(got) == len(raw) > 0
+    for row in got:
+        want = extract(raw[(row.conv_id, row.turn_idx)])
+        assert row.main_text == want["main_text"], (row.conv_id, row.turn_idx)
+        assert [[s.start, s.end, s.kind] for s in row.spans] == want["spans"]
+        assert row.err_count == want["err_count"]
+        assert row.parse_status == want["parse_status"]
+
+
+def test_plan_shape(transcripts):
+    """Scan must prune to the 3 needed columns; UDF must run on the Arrow
+    path; exactly one exchange (the salted repartition)."""
+    plan = run_extraction(transcripts)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    assert plan.count("Exchange") == 1
+    scan_line = next(l for l in plan.splitlines() if "FileScan" in l)
+    read_schema = scan_line.split("ReadSchema: ")[1]
+    assert read_schema == "struct<conv_id:string,turn_idx:int,text:string>"
+
+
+def test_metrics_rollup(spark, extracted):
+    m = {r.parse_status: r for r in extraction_metrics(extracted).collect()}
+    assert "ok" in m
+    total = sum(r.turns for r in m.values())
+    assert total == extracted.count()
+    assert m["ok"].tokens > 0 and m["ok"].main_text_chars > 0
+
+
+def test_salting_spreads_hot_conversations(spark, transcripts):
+    """A hot conversation's turns must land in >1 partition after the
+    salted repartition (the whole point of the salt)."""
+    from pyspark.sql import functions as F
+
+    hot = (
+        transcripts.groupBy("conv_id")
+        .count()
+        .orderBy(F.desc("count"))
+        .first()
+    )
+    if hot["count"] < 16:
+        pytest.skip("fixture too small to contain a hot conversation")
+    parts = (
+        run_extraction(transcripts, num_partitions=8, salt_k=8)
+        .filter(F.col("conv_id") == hot.conv_id)
+        .withColumn("pid", F.spark_partition_id())
+        .select("pid")
+        .distinct()
+        .count()
+    )
+    assert parts > 1
