@@ -132,6 +132,54 @@ _ATTR_VALUE_STATES = (ATTR_VALUE_DQ, ATTR_VALUE_SQ, ATTR_VALUE_UQ)
 _WS = "\t\n\x0c "  # tab, LF, FF, space — the tokenizer's whitespace class
 
 _DATA_BREAK = re.compile(r"[&<]")
+# bulk fast-path break sets for the other hot states: each matches exactly
+# the characters handled by a non-default arm (state switch / case fold /
+# NUL replacement) of that state's per-char handler; every char before the
+# break lands in the default "append verbatim" arm, so bulk-appending the
+# run is semantics-preserving (differential-tested vs the reference binary)
+_TAGNAME_BREAK = re.compile(r"[\t\n\x0c />\x00A-Z]")
+_ATTRNAME_BREAK = re.compile(r"[\t\n\x0c />=\x00A-Z]")
+_ATTRVAL_DQ_BREAK = re.compile(r'["&\x00]')
+_ATTRVAL_SQ_BREAK = re.compile(r"['&\x00]")
+_ATTRVAL_UQ_BREAK = re.compile(r"[\t\n\x0c &>\x00]")
+_COMMENT_BREAK = re.compile(r"[<\-\x00]")
+_BOGUS_BREAK = re.compile(r"[>\x00]")
+
+# ---------------------------------------------------------------------------
+# whole-tag fast path: one C-level regex match per *common-case* tag.
+#
+# The grammar below is a strict subset of what the automaton accepts; any
+# input needing case folding, entity decoding, NUL replacement, CR-in-tag,
+# reconsume quirks, or parse-error arms falls outside it and takes the
+# per-char automaton path.  Inside the subset the automaton's behavior is
+# provably "append chars verbatim, then emit via emit_current_tag", so
+# constructing the token directly is semantics-preserving (and the
+# differential harness checks this against the reference binary).
+#
+# Notes mirroring the automaton (mod.rs:286-685):
+# - whitespace is exactly [\t\n\x0c ] (\r/\v are ordinary chars → excluded
+#   from the subset entirely so they fall back);
+# - attr names: lowercase start, no '=' / uppercase (folding) / NUL;
+# - values: quoted may not contain & (char-ref path) or NUL; unquoted may
+#   not start with "/'/= (before-attr-value dispatch) and breaks on
+#   [\t\n\x0c &>\x00] only;
+# - '/' is self-closing ONLY when immediately followed by '>';
+# - end tags with attributes are inside the subset (the reference keeps
+#   them on the token).
+_VAL = r"(?:\"[^\"&\x00]*\"|'[^'&\x00]*'|[^\t\n\x0c \"'=>&\x00][^\t\n\x0c &>\x00]*)"
+_FAST_ATTR = re.compile(
+    r"([a-z][a-z0-9_:.-]*)(?:[\t\n\x0c ]*=[\t\n\x0c ]*(" + _VAL + r"))?"
+)
+_FAST_TAG = re.compile(
+    r"<(/?)([a-z][a-z0-9]*)"
+    r"((?:[\t\n\x0c ]+[a-z][a-z0-9_:.-]*"
+    r"(?:[\t\n\x0c ]*=[\t\n\x0c ]*" + _VAL + r")?)*)"
+    r"[\t\n\x0c ]*(/?)>"
+)
+# simple comments: no '-'/'<'/NUL in the body ⇒ the automaton appends the
+# body verbatim and the trailing --> closes it (abrupt ``<!-->`` forms
+# don't match and fall back)
+_FAST_COMMENT = re.compile(r"<!--([^-<\x00]*)-->")
 
 _ASCII_ALPHA = frozenset(
     "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
@@ -287,13 +335,15 @@ def tokenize(text: str):
             out(("comment", comment_data))
         tok_kind = 0
 
+    done = False
+
     def emit_eof():
+        nonlocal done
         flush_run()
         out(("eof",))
+        done = True
 
-    while True:
-        if tokens and tokens[-1] == ("eof",):
-            break
+    while not done:
 
         if state == DATA:
             # fast path: bulk-copy the run up to the next '&'/'<'
@@ -303,8 +353,68 @@ def tokenize(text: str):
                 m = _DATA_BREAK.search(text, pos)
                 j = m.start() if m else n
                 if j > pos:
-                    emit_chars(text[pos:j], pos, j)
+                    if not run:
+                        run_first = pos
+                    run_push(text[pos:j])
+                    run_last_end = j
                     pos = j
+                # whole-tag fast path, attempted straight at the break
+                # char (everything below is the inlined equivalent of
+                # consume → TAG_OPEN → ... → emit_current_tag for the
+                # _FAST_TAG subset; inlined because per-call overhead
+                # dominates tag-dense inputs)
+                if j < n and text[j] == "<":
+                    mt = _FAST_TAG.match(text, j)
+                    if mt is not None:
+                        end_slash, name, g3, sc_slash = mt.group(1, 2, 3, 4)
+                        attrs = []
+                        if g3:
+                            for am in _FAST_ATTR.finditer(g3):
+                                v = am.group(2)
+                                if v is None:
+                                    v = ""
+                                elif v[0] == '"' or v[0] == "'":
+                                    v = v[1:-1]
+                                attrs.append([am.group(1), v])
+                        if sc_slash:
+                            # self-closing bypasses the open-tags stack
+                            if run:
+                                out(("chars", "".join(run), run_first, run_last_end))
+                                run.clear()
+                                run_first = -1
+                            out(("end" if end_slash else "start", name, attrs, True))
+                        elif end_slash:
+                            if open_tags and open_tags[-1] == name:
+                                open_tags.pop()
+                                if run:
+                                    out(("chars", "".join(run), run_first, run_last_end))
+                                    run.clear()
+                                    run_first = -1
+                                out(("end", name, attrs, False))
+                            else:
+                                err_count += 1  # dropped by the stack filter
+                        else:
+                            open_tags.append(name)
+                            if run:
+                                out(("chars", "".join(run), run_first, run_last_end))
+                                run.clear()
+                                run_first = -1
+                            out(("start", name, attrs, False))
+                        pos = mt.end()
+                        cur = ">"
+                        cur_idx = pos - 1
+                        continue
+                    mc = _FAST_COMMENT.match(text, j)
+                    if mc is not None:
+                        if run:
+                            out(("chars", "".join(run), run_first, run_last_end))
+                            run.clear()
+                            run_first = -1
+                        out(("comment", mc.group(1)))
+                        pos = mc.end()
+                        cur = ">"
+                        cur_idx = pos - 1
+                        continue
             # consume
             if recon:
                 recon = False
@@ -503,6 +613,12 @@ def tokenize(text: str):
 
         elif state == TAG_NAME:
             # mod.rs:286-330
+            if not recon and pos < n:
+                m = _TAGNAME_BREAK.search(text, pos)
+                j = m.start() if m else n
+                if j > pos:
+                    tag_name += text[pos:j]
+                    pos = j
             if recon:
                 recon = False
                 c = cur
@@ -592,6 +708,13 @@ def tokenize(text: str):
 
         elif state == ATTR_NAME:
             # mod.rs:379-423 — duplicate attributes kept (dedup unimplemented)
+            if not recon and pos < n:
+                m = _ATTRNAME_BREAK.search(text, pos)
+                j = m.start() if m else n
+                if j > pos:
+                    if tok_kind == 1 and tag_attrs:
+                        tag_attrs[-1][0] += text[pos:j]
+                    pos = j
             if recon:
                 recon = False
                 c = cur
@@ -679,6 +802,13 @@ def tokenize(text: str):
 
         elif state == ATTR_VALUE_DQ:
             # mod.rs:507-537
+            if not recon and pos < n:
+                m = _ATTRVAL_DQ_BREAK.search(text, pos)
+                j = m.start() if m else n
+                if j > pos:
+                    if tok_kind == 1 and tag_attrs:
+                        tag_attrs[-1][1] += text[pos:j]
+                    pos = j
             if recon:
                 recon = False
                 c = cur
@@ -705,6 +835,13 @@ def tokenize(text: str):
 
         elif state == ATTR_VALUE_SQ:
             # mod.rs:540-571
+            if not recon and pos < n:
+                m = _ATTRVAL_SQ_BREAK.search(text, pos)
+                j = m.start() if m else n
+                if j > pos:
+                    if tok_kind == 1 and tag_attrs:
+                        tag_attrs[-1][1] += text[pos:j]
+                    pos = j
             if recon:
                 recon = False
                 c = cur
@@ -731,6 +868,13 @@ def tokenize(text: str):
 
         elif state == ATTR_VALUE_UQ:
             # mod.rs:574-620
+            if not recon and pos < n:
+                m = _ATTRVAL_UQ_BREAK.search(text, pos)
+                j = m.start() if m else n
+                if j > pos:
+                    if tok_kind == 1 and tag_attrs:
+                        tag_attrs[-1][1] += text[pos:j]
+                    pos = j
             if recon:
                 recon = False
                 c = cur
@@ -1023,6 +1167,13 @@ def tokenize(text: str):
 
         elif state == COMMENT:
             # mod.rs:1188-1221
+            if not recon and pos < n:
+                m = _COMMENT_BREAK.search(text, pos)
+                j = m.start() if m else n
+                if j > pos:
+                    if tok_kind == 2:
+                        comment_data += text[pos:j]
+                    pos = j
             if recon:
                 recon = False
                 c = cur

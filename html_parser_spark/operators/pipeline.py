@@ -118,9 +118,12 @@ def run_extraction(
         # (~4:1) that AQE would merge the whole table into 1-2 partitions
         # and serialize the (much heavier) Python tokenize stage behind
         # them.  Shuffle bytes are a bad proxy for UDF compute.
+        # 4× cores: measured sweet spot on local[32]/sf0.1 (64→13.3k,
+        # 128→16.1k, 256→10.8k turns/s) — small enough tasks to level
+        # text-length skew, large enough to amortize task/worker startup
         sc = pruned.sparkSession.sparkContext
         num_partitions = max(
-            sc.defaultParallelism * 2,
+            sc.defaultParallelism * 4,
             int(pruned.sparkSession.conf.get("spark.sql.shuffle.partitions")),
         )
     parted = pruned.repartition(num_partitions, F.col("conv_id"), salt)
