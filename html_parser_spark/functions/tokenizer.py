@@ -127,6 +127,64 @@ CDATA_SECTION = 50
 CDATA_BRACKET = 51
 CDATA_END = 52
 
+# RCDATA / RAWTEXT / script-data / PLAINTEXT families (reference
+# state.rs:2-323; unreachable from Data in the reference — no code path
+# performs the tree-builder state feedback, SURVEY.md §2.4 — but the
+# handlers exist and are replicated here behind an optional
+# ``initial_state`` entry point, completing the 80-state automaton)
+RCDATA = 53
+RCDATA_LTS = 54
+RCDATA_END_TAG_OPEN = 55
+RCDATA_END_TAG_NAME = 56
+RAWTEXT = 57
+RAWTEXT_LTS = 58
+RAWTEXT_END_TAG_OPEN = 59
+RAWTEXT_END_TAG_NAME = 60
+SCRIPT_DATA = 61
+SCRIPT_LTS = 62
+SCRIPT_END_TAG_OPEN = 63
+SCRIPT_END_TAG_NAME = 64
+SCRIPT_ESCAPE_START = 65
+SCRIPT_ESCAPE_START_DASH = 66
+SCRIPT_ESCAPED = 67
+SCRIPT_ESCAPED_DASH = 68
+SCRIPT_ESCAPED_DASH_DASH = 69
+SCRIPT_ESCAPED_LTS = 70
+SCRIPT_ESCAPED_END_TAG_OPEN = 71
+SCRIPT_ESCAPED_END_TAG_NAME = 72
+SCRIPT_DOUBLE_ESCAPE_START = 73
+SCRIPT_DOUBLE_ESCAPED = 74
+SCRIPT_DOUBLE_ESCAPED_DASH = 75
+SCRIPT_DOUBLE_ESCAPED_DASH_DASH = 76
+SCRIPT_DOUBLE_ESCAPED_LTS = 77
+SCRIPT_DOUBLE_ESCAPE_END = 78
+PLAINTEXT = 79
+
+# end-tag-open/name family dispatch (shared handler bodies)
+_ETO_FAMILY = {
+    RCDATA_END_TAG_OPEN: (RCDATA_END_TAG_NAME, RCDATA),
+    RAWTEXT_END_TAG_OPEN: (RAWTEXT_END_TAG_NAME, RAWTEXT),
+    SCRIPT_END_TAG_OPEN: (SCRIPT_END_TAG_NAME, SCRIPT_DATA),
+    SCRIPT_ESCAPED_END_TAG_OPEN: (SCRIPT_ESCAPED_END_TAG_NAME, SCRIPT_ESCAPED),
+}
+_ETN_FAMILY = {
+    RCDATA_END_TAG_NAME: RCDATA,
+    RAWTEXT_END_TAG_NAME: RAWTEXT,
+    SCRIPT_END_TAG_NAME: SCRIPT_DATA,
+    SCRIPT_ESCAPED_END_TAG_NAME: SCRIPT_ESCAPED,
+}
+# (match_state, else_state) per double-escape transition state
+_DBL_ESCAPE = {
+    SCRIPT_DOUBLE_ESCAPE_START: (SCRIPT_DOUBLE_ESCAPED, SCRIPT_ESCAPED),
+    SCRIPT_DOUBLE_ESCAPE_END: (SCRIPT_ESCAPED, SCRIPT_DOUBLE_ESCAPED),
+}
+_RAWTEXTISH = {RAWTEXT: RAWTEXT_LTS, SCRIPT_DATA: SCRIPT_LTS}
+_RCDATA_BREAK = re.compile(r"[&<\x00]")
+_RAWTEXT_BREAK = re.compile(r"[<\x00]")
+_ESCAPED_BREAK = re.compile(r"[<\x00\-]")
+_NUL_BREAK = re.compile(r"\x00")
+_ASCII_LOWER = frozenset("abcdefghijklmnopqrstuvwxyz")
+
 _ATTR_VALUE_STATES = (ATTR_VALUE_DQ, ATTR_VALUE_SQ, ATTR_VALUE_UQ)
 
 _WS = "\t\n\x0c "  # tab, LF, FF, space — the tokenizer's whitespace class
@@ -211,9 +269,16 @@ def _is_alphanumeric(c: str) -> bool:
     return c.isalnum() or unicodedata.category(c) == "Nl"
 
 
-def tokenize(text: str):
+def tokenize(text: str, initial_state: int = DATA):
     """Run the automaton over ``text``; return
     ``(tokens, parse_status, err_count)``.
+
+    ``initial_state`` exposes the RCDATA/RAWTEXT/script-data/PLAINTEXT
+    families (reference state.rs:2-323): in the reference they are
+    unreachable from Data — the tree-builder feedback that would select
+    them is unimplemented (SURVEY.md §2.4) — so the default entry point
+    reproduces that topology exactly, while a caller tokenizing e.g. a
+    raw <script> body can opt in.
 
     ``err_count`` counts end tags silently dropped by the open-tags stack
     filter (the reference's signature quirk, mod.rs:3756-3779) — the only
@@ -240,7 +305,7 @@ def tokenize(text: str):
             run_first = -1
 
     # 7-register machine (reference: src/tokenizer/mod.rs:17-37)
-    state = DATA
+    state = initial_state
     return_state = DATA
     pos = 0  # index of next char to consume
     cur: str | None = None  # current_character
@@ -264,6 +329,7 @@ def tokenize(text: str):
 
     status = OK
     err_count = 0  # end tags dropped by the stack filter
+    lt_idx = -1  # source index of the pending '<' in the *-less-than-sign states
     amp_src = -1  # source index of the '&' opening the current char ref
 
     def emit_chars(s: str, src_start: int, src_end: int):
@@ -2162,7 +2228,425 @@ def tokenize(text: str):
                 recon = True
                 state = CDATA_SECTION
 
-        else:  # pragma: no cover — unreachable RCDATA/RAWTEXT/script family
+
+        # ------------------------------------------------------------------
+        # RCDATA / RAWTEXT / script-data / PLAINTEXT families — reachable
+        # only via ``initial_state`` (reference topology: unreachable,
+        # SURVEY.md §2.4).  Spec-faithful like the reference, including its
+        # deviation: the "appropriate end tag" check compares against
+        # ``open_tags[-1]`` instead of the last start tag emitted
+        # (mod.rs:3724-3736), and the '>' arm emits through the *generic*
+        # emitter, bypassing the stack filter (mod.rs:3738-3743).
+
+        elif state == RCDATA:
+            # mod.rs:2287-2321
+            if not recon and pos < n:
+                m = _RCDATA_BREAK.search(text, pos)
+                j = m.start() if m else n
+                if j > pos:
+                    emit_chars(text[pos:j], pos, j)
+                    pos = j
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                emit_eof()
+            elif c == "&":
+                return_state = RCDATA
+                state = CHAR_REF
+            elif c == "<":
+                lt_idx = cur_idx
+                state = RCDATA_LTS
+            elif c == "\x00":
+                emit_chars(REPLACEMENT, cur_idx, cur_idx + 1)
+            else:
+                emit_chars(c, cur_idx, cur_idx + 1)
+                cur = None
+
+        elif state == RAWTEXT or state == SCRIPT_DATA:
+            # mod.rs:2324-2349, 2352-2379 (identical shapes)
+            if not recon and pos < n:
+                m = _RAWTEXT_BREAK.search(text, pos)
+                j = m.start() if m else n
+                if j > pos:
+                    emit_chars(text[pos:j], pos, j)
+                    pos = j
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                emit_eof()
+            elif c == "<":
+                lt_idx = cur_idx
+                state = _RAWTEXTISH[state]
+            elif c == "\x00":
+                emit_chars(REPLACEMENT, cur_idx, cur_idx + 1)
+            else:
+                emit_chars(c, cur_idx, cur_idx + 1)
+                cur = None
+
+        elif state == PLAINTEXT:
+            # mod.rs:2382-2399
+            if not recon and pos < n:
+                m = _NUL_BREAK.search(text, pos)
+                j = m.start() if m else n
+                if j > pos:
+                    emit_chars(text[pos:j], pos, j)
+                    pos = j
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                emit_eof()
+            elif c == "\x00":
+                emit_chars(REPLACEMENT, cur_idx, cur_idx + 1)
+            else:
+                emit_chars(c, cur_idx, cur_idx + 1)
+                cur = None
+
+        elif state == RCDATA_LTS or state == RAWTEXT_LTS:
+            # mod.rs:2402-2426, 2552-2576
+            back = RCDATA if state == RCDATA_LTS else RAWTEXT
+            eto = RCDATA_END_TAG_OPEN if state == RCDATA_LTS else RAWTEXT_END_TAG_OPEN
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c == "/":
+                temp_buf = ""
+                state = eto
+            else:
+                emit_chars("<", lt_idx, lt_idx + 1)
+                recon = True
+                state = back
+
+        elif state == SCRIPT_LTS:
+            # mod.rs:2692-2724
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c == "/":
+                temp_buf = ""
+                state = SCRIPT_END_TAG_OPEN
+            elif c == "!":
+                state = SCRIPT_ESCAPE_START
+                emit_chars("<!", lt_idx, lt_idx + 2)
+            else:
+                emit_chars("<", lt_idx, lt_idx + 1)
+                recon = True
+                state = SCRIPT_DATA
+
+        elif state in _ETO_FAMILY:
+            # mod.rs:2429-2451, 2579-2601, 2727-2749, 3040-3062
+            name_state, back = _ETO_FAMILY[state]
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is not None and c in _ASCII_ALPHA:
+                tok_kind = 1
+                tag_is_end = True
+                tag_name = ""
+                tag_attrs = []
+                tag_self_closing = False
+                recon = True
+                state = name_state
+            else:
+                emit_chars("</", lt_idx, lt_idx + 2)
+                recon = True
+                state = back
+
+        elif state in _ETN_FAMILY:
+            # mod.rs:2454-2549, 2604-2689, 2752-2838, 3065-3160
+            back = _ETN_FAMILY[state]
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            appropriate = bool(open_tags) and open_tags[-1] == tag_name
+            if c is not None and c in _WS and appropriate:
+                state = BEFORE_ATTR_NAME
+            elif c == "/" and appropriate:
+                state = SELF_CLOSING
+            elif c == ">" and appropriate:
+                state = DATA
+                emit_doctype()  # generic emitter — bypasses the stack filter
+            elif c is not None and c in _ASCII_UPPER:
+                tag_name += chr(ord(c) + 0x20)
+                temp_buf = (temp_buf or "") + c
+            elif c is not None and c in _ASCII_LOWER:
+                tag_name += c
+                temp_buf = (temp_buf or "") + c
+            else:
+                buf = temp_buf if temp_buf is not None else ""
+                emit_chars("</" + buf, lt_idx, lt_idx + 2 + len(buf))
+                recon = True
+                state = back
+
+        elif state == SCRIPT_ESCAPE_START or state == SCRIPT_ESCAPE_START_DASH:
+            # mod.rs:2841-2859, 2862-2881
+            nxt = (
+                SCRIPT_ESCAPE_START_DASH
+                if state == SCRIPT_ESCAPE_START
+                else SCRIPT_ESCAPED_DASH_DASH
+            )
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c == "-":
+                state = nxt
+                emit_chars("-", cur_idx, cur_idx + 1)
+            else:
+                recon = True
+                state = SCRIPT_DATA
+
+        elif state == SCRIPT_ESCAPED or state == SCRIPT_DOUBLE_ESCAPED:
+            # mod.rs:2884-2918, 3214-3249
+            dbl = state == SCRIPT_DOUBLE_ESCAPED
+            if not recon and pos < n:
+                m = _ESCAPED_BREAK.search(text, pos)
+                j = m.start() if m else n
+                if j > pos:
+                    emit_chars(text[pos:j], pos, j)
+                    pos = j
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                emit_eof()
+            elif c == "-":
+                state = SCRIPT_DOUBLE_ESCAPED_DASH if dbl else SCRIPT_ESCAPED_DASH
+                emit_chars("-", cur_idx, cur_idx + 1)
+            elif c == "<":
+                lt_idx = cur_idx
+                if dbl:
+                    state = SCRIPT_DOUBLE_ESCAPED_LTS
+                    emit_chars("<", cur_idx, cur_idx + 1)
+                else:
+                    state = SCRIPT_ESCAPED_LTS
+            elif c == "\x00":
+                emit_chars(REPLACEMENT, cur_idx, cur_idx + 1)
+            else:
+                emit_chars(c, cur_idx, cur_idx + 1)
+                cur = None
+
+        elif state == SCRIPT_ESCAPED_DASH or state == SCRIPT_DOUBLE_ESCAPED_DASH:
+            # mod.rs:2921-2957, 3252-3289
+            dbl = state == SCRIPT_DOUBLE_ESCAPED_DASH
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                emit_eof()
+            elif c == "-":
+                state = (
+                    SCRIPT_DOUBLE_ESCAPED_DASH_DASH if dbl else SCRIPT_ESCAPED_DASH_DASH
+                )
+                emit_chars("-", cur_idx, cur_idx + 1)
+            elif c == "<":
+                lt_idx = cur_idx
+                if dbl:
+                    state = SCRIPT_DOUBLE_ESCAPED_LTS
+                    emit_chars("<", cur_idx, cur_idx + 1)
+                else:
+                    state = SCRIPT_ESCAPED_LTS
+            elif c == "\x00":
+                state = SCRIPT_DOUBLE_ESCAPED if dbl else SCRIPT_ESCAPED
+                emit_chars(REPLACEMENT, cur_idx, cur_idx + 1)
+            else:
+                state = SCRIPT_DOUBLE_ESCAPED if dbl else SCRIPT_ESCAPED
+                emit_chars(c, cur_idx, cur_idx + 1)
+                cur = None
+
+        elif (
+            state == SCRIPT_ESCAPED_DASH_DASH
+            or state == SCRIPT_DOUBLE_ESCAPED_DASH_DASH
+        ):
+            # mod.rs:2960-3002, 3292-3334
+            dbl = state == SCRIPT_DOUBLE_ESCAPED_DASH_DASH
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is None:
+                emit_eof()
+            elif c == "-":
+                emit_chars("-", cur_idx, cur_idx + 1)
+            elif c == "<":
+                lt_idx = cur_idx
+                if dbl:
+                    state = SCRIPT_DOUBLE_ESCAPED_LTS
+                    emit_chars("<", cur_idx, cur_idx + 1)
+                else:
+                    state = SCRIPT_ESCAPED_LTS
+            elif c == ">":
+                state = SCRIPT_DATA
+                emit_chars(">", cur_idx, cur_idx + 1)
+            elif c == "\x00":
+                state = SCRIPT_DOUBLE_ESCAPED if dbl else SCRIPT_ESCAPED
+                emit_chars(REPLACEMENT, cur_idx, cur_idx + 1)
+            else:
+                state = SCRIPT_DOUBLE_ESCAPED if dbl else SCRIPT_ESCAPED
+                emit_chars(c, cur_idx, cur_idx + 1)
+                cur = None
+
+        elif state == SCRIPT_ESCAPED_LTS:
+            # mod.rs:3005-3037
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c == "/":
+                temp_buf = ""
+                state = SCRIPT_ESCAPED_END_TAG_OPEN
+            elif c is not None and c in _ASCII_ALPHA:
+                temp_buf = ""
+                emit_chars("<", lt_idx, lt_idx + 1)
+                recon = True
+                state = SCRIPT_DOUBLE_ESCAPE_START
+            else:
+                emit_chars("<", lt_idx, lt_idx + 1)
+                recon = True
+                state = SCRIPT_ESCAPED
+
+        elif state == SCRIPT_DOUBLE_ESCAPED_LTS:
+            # mod.rs:3337-3357
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c == "/":
+                temp_buf = ""
+                state = SCRIPT_DOUBLE_ESCAPE_END
+                emit_chars("/", cur_idx, cur_idx + 1)
+            else:
+                recon = True
+                state = SCRIPT_DOUBLE_ESCAPED
+
+        elif state in _DBL_ESCAPE:
+            # mod.rs:3163-3211, 3360-3408 — NB the reference emits the
+            # terminator char only in the buffer-mismatch arm
+            match_state, else_state = _DBL_ESCAPE[state]
+            anything_else = (
+                SCRIPT_ESCAPED
+                if state == SCRIPT_DOUBLE_ESCAPE_START
+                else SCRIPT_DOUBLE_ESCAPED
+            )
+            if recon:
+                recon = False
+                c = cur
+            elif pos < n:
+                c = cur = text[pos]
+                cur_idx = pos
+                pos += 1
+            else:
+                c = cur = None
+                cur_idx = n
+            if c is not None and (c in _WS or c == "/" or c == ">"):
+                if (temp_buf if temp_buf is not None else "") == "script":
+                    state = match_state
+                else:
+                    state = else_state
+                    emit_chars(c, cur_idx, cur_idx + 1)
+                    cur = None
+            elif c is not None and c in _ASCII_UPPER:
+                temp_buf = (temp_buf or "") + chr(ord(c) + 0x20)
+                emit_chars(c, cur_idx, cur_idx + 1)
+                cur = None
+            elif c is not None and c in _ASCII_LOWER:
+                temp_buf = (temp_buf or "") + c
+                emit_chars(c, cur_idx, cur_idx + 1)
+                cur = None
+            else:
+                recon = True
+                state = anything_else
+
+        else:  # pragma: no cover — exhaustive 80-state dispatch
             raise AssertionError(f"unreachable state {state}")
 
     return tokens, status, err_count
