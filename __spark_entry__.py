@@ -24,6 +24,7 @@ from html_parser_spark.operators import (
     similarity,
     textstats,
 )
+from html_parser_spark.functions.display import display_expr, tokenize_udf
 from html_parser_spark.operators.pipeline import extraction_metrics, run_extraction
 
 
@@ -51,6 +52,31 @@ def _extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("parse_status")
 
 
+def _token_kind_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-stream surface: tokenize_udf -> explode (= next_token) ->
+    per-kind counts over the transcript corpus (rows-only: tokenization
+    is not SQL-expressible)."""
+    t = _transcripts(spark, _sf_of(sf_dir))
+    return (
+        t.select(tokenize_udf(F.col("text")).alias("tokens"))
+        .select(F.explode("tokens").alias("tok"))
+        .groupBy(F.col("tok.kind").alias("kind"))
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+        .orderBy("kind")
+    )
+
+
+def _display_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Display-format serialization (token.rs Display impls) over the
+    transcript corpus; returns per-turn display lengths (rows-only)."""
+    t = _transcripts(spark, _sf_of(sf_dir))
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        F.length(display_expr(tokenize_udf(F.col("text")))).alias("display_len"),
+    )
+
+
 def _token_stats(spark, sf_dir):
     return textstats.token_stats(spark, sf_dir)
 
@@ -74,8 +100,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # flagship extraction (tokenizer not SQL-expressible → rows-only)
         "extract_turns": _extract_turns,
         "extract_metrics": _extract_metrics,
+        "tokens_kind_counts": _token_kind_counts,
+        "display_roundtrip": _display_roundtrip,
         # deduplication family
         "dedup_exact": dedup.exact_duplicates,
+        "dedup_keep_list": dedup.dedup_keep_list,
         "dedup_minhash_signatures": dedup.minhash_signatures,
         "dedup_minhash_candidates": dedup.minhash_candidates,
         "dedup_ngram_jaccard": dedup.ngram_jaccard,
@@ -106,6 +135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "dedup_exact": dedup.exact_duplicates_sql(),
+        "dedup_keep_list": dedup.dedup_keep_list_sql(),
         "dedup_minhash_signatures": dedup.minhash_signatures_sql(),
         "dedup_minhash_candidates": dedup.minhash_candidates_sql(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_sql(),

@@ -225,6 +225,35 @@ def ngram_jaccard_sql(table: str = "documents") -> str:
     """
 
 
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup *output*: one row per surviving document (the minimum
+    doc_id of each normalized-text group).  Anti-join shape: at 100 TB
+    this is the same committed-keys primitive the resume path uses —
+    only (hash, keep_id) pairs shuffle, never text."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hashed = docs.select("doc_id", F.md5(_norm()).alias("text_hash"))
+    losers = (
+        hashed.groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        hashed.join(losers, "text_hash")
+        .filter(F.col("doc_id") == F.col("keep_doc_id"))
+        .select("doc_id", "text_hash")
+        .orderBy("doc_id")
+    )
+
+
+def dedup_keep_list_sql(table: str = "documents") -> str:
+    return f"""
+    WITH hashed AS (SELECT doc_id, md5({NORM_SQL}) AS text_hash FROM {table})
+    SELECT doc_id, text_hash FROM hashed
+    WHERE doc_id = (SELECT min(h2.doc_id) FROM hashed h2
+                    WHERE h2.text_hash = hashed.text_hash)
+    ORDER BY doc_id
+    """
+
+
 # ---------------------------------------------------------------- simhash
 
 
