@@ -29,6 +29,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..sources.tables import append_table, read_table
 from .pipeline import extraction_metrics, run_extraction
 
 KEYS = ("conv_id", "turn_idx")
@@ -43,7 +44,7 @@ LINEAGE_SCHEMA = (
 def committed_keys(spark: SparkSession, out_path: str) -> DataFrame | None:
     """Keys already present in the committed output (None if no output)."""
     try:
-        return spark.read.parquet(out_path).select(*KEYS)
+        return read_table(spark, out_path).select(*KEYS)
     except Exception:
         return None
 
@@ -131,16 +132,15 @@ def run_resumable(
 
     extracted = run_extraction(todo, num_partitions=num_partitions).cache()
     n_written = extracted.count()
-    extracted.write.mode("append").parquet(out_path)
-    lineage_rows(extracted, run_id).write.mode("append").parquet(
-        os.path.join(out_dir, "lineage")
+    append_table(extracted, out_path)
+    append_table(
+        lineage_rows(extracted, run_id), os.path.join(out_dir, "lineage")
     )
-    (
+    append_table(
         extraction_metrics(extracted)
         .withColumn("run_id", F.lit(run_id))
-        .withColumn("run_ts", F.lit(int(time.time())).cast("long"))
-        .write.mode("append")
-        .parquet(os.path.join(out_dir, "metrics"))
+        .withColumn("run_ts", F.lit(int(time.time())).cast("long")),
+        os.path.join(out_dir, "metrics"),
     )
     extracted.unpersist()
     return {
