@@ -105,38 +105,40 @@ def py_tokens_to_golden(tokens) -> list:
     return out
 
 
-def compare_corpus(texts, timeout: float = 5.0, verbose: bool = False):
-    """Differential run; returns (n_match, mismatches list)."""
+def compare_one(probe, text):
+    """Compare one input on an existing probe; returns (ok, detail)."""
     sys.path.insert(0, "/root/repo")
     from html_parser_spark.functions.tokenizer import tokenize
 
+    ref_toks, ref_status = probe.tokenize(text)
+    py_toks, py_status, _err = tokenize(text)
+    py_golden = py_tokens_to_golden(py_toks)
+    if ref_status == "hang":
+        ok = py_status == "hang_in_reference"
+        return ok, None if ok else (text, "ref hang, py " + py_status, None, py_golden)
+    if ref_status == "panic":
+        ok = py_status == "panic_in_reference"
+        return ok, None if ok else (text, "ref panic, py " + py_status, None, py_golden)
+    ok = py_status == "ok" and py_golden == ref_toks
+    return ok, None if ok else (text, f"py status={py_status}", ref_toks, py_golden)
+
+
+def compare_corpus(texts, timeout: float = 5.0, verbose: bool = False):
+    """Differential run; returns (n_match, mismatches list)."""
     probe = RefProbe(timeout=timeout)
     mismatches = []
     n_match = 0
     try:
         for idx, text in enumerate(texts):
-            ref_toks, ref_status = probe.tokenize(text)
-            py_toks, py_status, _err = tokenize(text)
-            py_golden = py_tokens_to_golden(py_toks)
-            if ref_status == "hang":
-                if py_status == "hang_in_reference":
-                    n_match += 1
-                else:
-                    mismatches.append((idx, text, "ref hang, py " + py_status, None, py_golden))
-            elif ref_status == "panic":
-                if py_status == "panic_in_reference":
-                    n_match += 1
-                else:
-                    mismatches.append((idx, text, "ref panic, py " + py_status, None, py_golden))
+            ok, detail = compare_one(probe, text)
+            if ok:
+                n_match += 1
             else:
-                if py_status == "ok" and py_golden == ref_toks:
-                    n_match += 1
-                else:
-                    mismatches.append((idx, text, f"py status={py_status}", ref_toks, py_golden))
-            if verbose and mismatches and mismatches[-1][0] == idx:
-                print(f"MISMATCH #{idx}: {text!r}")
-                print("  ref:", json.dumps(ref_toks, ensure_ascii=False)[:400])
-                print("  py :", json.dumps(py_golden, ensure_ascii=False)[:400])
+                mismatches.append((idx, *detail))
+                if verbose:
+                    print(f"MISMATCH #{idx}: {text!r}")
+                    print("  ref:", json.dumps(detail[2], ensure_ascii=False)[:400])
+                    print("  py :", json.dumps(detail[3], ensure_ascii=False)[:400])
     finally:
         probe.close()
     return n_match, mismatches

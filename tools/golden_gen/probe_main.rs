@@ -70,9 +70,6 @@ fn main() {
             Ok(l) => l,
             Err(_) => break,
         };
-        if line.is_empty() {
-            continue;
-        }
         let bytes = b64decode(&line);
         let input = String::from_utf8_lossy(&bytes).into_owned();
         let mut tok = Tokenizer::new(&input);
