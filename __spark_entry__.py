@@ -22,6 +22,7 @@ from html_parser_spark.operators import (
     multimodal,
     relational,
     similarity,
+    temporal,
     textstats,
 )
 from html_parser_spark.functions.display import display_expr, tokenize_udf
@@ -129,6 +130,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_events_daily_rollup": relational.events_daily_rollup,
         "rel_event_type_setops": relational.event_type_setops,
         "rel_json_props_stats": relational.json_props_stats,
+        # temporal joins Spark lacks natively (scalable decompositions)
+        "rel_asof_join": temporal.asof_last_click,
+        "rel_range_join": temporal.range_join_activity,
     }
 
 
@@ -154,6 +158,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_events_daily_rollup": relational.events_daily_rollup_sql(),
         "rel_event_type_setops": relational.event_type_setops_sql(),
         "rel_json_props_stats": relational.json_props_stats_sql(),
+        "rel_asof_join": temporal.asof_last_click_sql(),
+        "rel_range_join": temporal.range_join_activity_sql(),
         # no oracle (not SQL-expressible): extract_turns, extract_metrics,
         # dedup_simhash (bit-twiddling UDF), ann_lsh_topk (plane constants)
     }
