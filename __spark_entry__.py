@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_candidates": dedup.minhash_candidates,
         "dedup_ngram_jaccard": dedup.ngram_jaccard,
         "dedup_simhash": dedup.simhash_sketches,
+        "dedup_simhash_pairs": dedup.simhash_near_dups,
         "dedup_embedding_cosine": similarity.embedding_near_dups,
         # similarity search
         "ann_cosine_topk": similarity.cosine_topk,

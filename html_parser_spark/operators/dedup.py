@@ -290,3 +290,63 @@ def simhash_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     quarters (pigeonhole: any ≤3-bit-different pair shares a quarter)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select("doc_id", _simhash_udf(F.col("text")).alias("simhash"))
+
+
+def simhash_near_dups(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-duplicate pairs via the pigeonhole bucketing: split
+    each 64-bit sketch into four 16-bit quarters; any pair within
+    ``max_hamming`` ≤ 3 bits must agree on at least one quarter, so
+    candidates come from an equi self-join on (quarter_idx, quarter
+    value) — never a cross product — and the exact Hamming distance is
+    then computed JVM-side with xor + bit_count.  Hex→long via two
+    32-bit halves (conv() on 16 hex digits would overflow signed 64)."""
+    sk = simhash_sketches(spark, sf_dir)
+    hi = F.conv(F.substring("simhash", 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring("simhash", 9, 8), 16, 10).cast("long")
+    sk = sk.select(
+        "doc_id",
+        "simhash",
+        F.shiftleft(hi, 32).bitwiseOR(lo).alias("sh64"),
+    )
+    quarters = sk.select(
+        "doc_id",
+        "sh64",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        F.shiftrightunsigned(F.col("sh64"), 16 * q)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("qv"),
+                    )
+                    for q in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "sh64", F.col("b.q").alias("q"), F.col("b.qv").alias("qv"))
+    a = quarters.alias("a")
+    b = quarters.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.q") == F.col("b.q"))
+            & (F.col("a.qv") == F.col("b.qv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh64").alias("sa"),
+            F.col("b.sh64").alias("sb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        cand.select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )

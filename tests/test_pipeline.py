@@ -87,3 +87,27 @@ def test_salting_spreads_hot_conversations(spark, transcripts):
         .count()
     )
     assert parts > 1
+
+
+def test_stable_turn_ordering_within_partitions(spark, transcripts):
+    """north_star contract: rows are ordered by (conv_id, turn_idx)
+    within every output partition (sortWithinPartitions)."""
+    from pyspark.sql import functions as F
+
+    out = run_extraction(transcripts, num_partitions=8).withColumn(
+        "pid", F.spark_partition_id()
+    )
+
+    def check(it):
+        import pandas as pd
+
+        for pdf in it:
+            keys = list(zip(pdf["conv_id"], pdf["turn_idx"]))
+            yield pd.DataFrame({"ok": [keys == sorted(keys)]})
+
+    res = (
+        out.select("pid", "conv_id", "turn_idx")
+        .mapInPandas(check, schema="ok boolean")
+        .collect()
+    )
+    assert res and all(r.ok for r in res)
