@@ -77,10 +77,12 @@ def main() -> None:
         secondary = [
             "dedup_exact",
             "dedup_minhash_candidates",
+            "dedup_simhash_pairs",
             "ann_cosine_topk",
             "text_quality_scores",
             "rel_pricing_summary",
             "rel_top_revenue_nations",
+            "rel_asof_join",
         ]
         qmap = entry_mod.queries()
         for name in secondary:
