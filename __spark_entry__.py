@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_parts_with_shipments": relational.parts_with_shipments,
         "rel_user_event_windows": relational.user_event_windows,
         "rel_events_daily_rollup": relational.events_daily_rollup,
+        "rel_events_monthly_cube": relational.events_monthly_cube,
         "rel_event_type_setops": relational.event_type_setops,
         "rel_json_props_stats": relational.json_props_stats,
         # temporal joins Spark lacks natively (scalable decompositions)
@@ -157,6 +158,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_parts_with_shipments": relational.parts_with_shipments_sql(),
         "rel_user_event_windows": relational.user_event_windows_sql(),
         "rel_events_daily_rollup": relational.events_daily_rollup_sql(),
+        "rel_events_monthly_cube": relational.events_monthly_cube_sql(),
         "rel_event_type_setops": relational.event_type_setops_sql(),
         "rel_json_props_stats": relational.json_props_stats_sql(),
         "rel_asof_join": temporal.asof_last_click_sql(),

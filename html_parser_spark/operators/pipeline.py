@@ -99,6 +99,7 @@ def run_extraction(
     num_partitions: int | None = None,
     salt_k: int = 8,
     passthrough: tuple = ("conv_id", "turn_idx"),
+    long_text_threshold: int | None = None,
 ) -> DataFrame:
     """transcripts DataFrame → extracted DataFrame.
 
@@ -108,9 +109,36 @@ def run_extraction(
     ``salt_k`` splits each conversation across up to ``salt_k`` shuffle
     partitions (long-conversation skew); within a partition rows are
     sorted by (conv_id, turn_idx) — the north_star's stable turn ordering.
+
+    ``long_text_threshold``: per-row COMPUTE skew (the 64 KB-P99 text
+    tail) is invisible to AQE, which only rebalances shuffle bytes.
+    When set, rows with ``length(text) > threshold`` are routed to a
+    dedicated round-robin-balanced pass (few rows per partition, so no
+    single task drags the stage tail) and unioned back.  At the 10^12
+    target set it near the corpus P99.
     """
     cols = list(dict.fromkeys([*passthrough, "text"]))
     pruned = df.select(*cols)
+    if long_text_threshold is not None:
+        is_long = F.length("text") > long_text_threshold
+        short = run_extraction(
+            pruned.filter(~is_long),
+            num_partitions=num_partitions,
+            salt_k=salt_k,
+            passthrough=passthrough,
+        )
+        sc = pruned.sparkSession.sparkContext
+        long_rows = (
+            pruned.filter(is_long)
+            .repartition(sc.defaultParallelism)  # round-robin: balanced by count
+            .sortWithinPartitions("conv_id", "turn_idx")
+            .withColumn("ext", extract_udf(F.col("text")))
+        )
+        long_out = long_rows.select(
+            *[c for c in cols if c != "text"],
+            *[F.col(f"ext.{name}").alias(name) for name in _COLS],
+        )
+        return short.unionByName(long_out)
     salt = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(salt_k))
     if num_partitions is None:
         # ALWAYS pass an explicit count: a column-only repartition is

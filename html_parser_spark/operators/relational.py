@@ -190,6 +190,30 @@ def events_daily_rollup_sql() -> str:
     """
 
 
+def events_monthly_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: all four of (type, month), (type), (month), ()."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("month", F.month("ts").cast("long"))
+        .cube("event_type", "month")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type", "month")
+    )
+
+
+def events_monthly_cube_sql() -> str:
+    return """
+    SELECT event_type, CAST(month(ts) AS BIGINT) AS month,
+           count(*) AS n_events, ROUND(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY CUBE (event_type, CAST(month(ts) AS BIGINT))
+    ORDER BY event_type, month
+    """
+
+
 def event_type_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations: users seen in the most common event type but not
     the least common one (EXCEPT/intersect family)."""

@@ -62,3 +62,15 @@ def test_salting_preserves_results(spark, skewed):
     ka = {(r.conv_id, r.turn_idx, r.main_text) for r in a.collect()}
     kb = {(r.conv_id, r.turn_idx, r.main_text) for r in b.collect()}
     assert ka == kb
+
+
+def test_long_text_routing_identical_results(spark):
+    """long_text_threshold must only change the physical routing, never
+    the output; long rows spread round-robin across partitions."""
+    base = spark.read.parquet(ensure_transcripts(0.001))
+    plain = run_extraction(base, num_partitions=8)
+    routed = run_extraction(base, num_partitions=8, long_text_threshold=4096)
+    ka = {(r.conv_id, r.turn_idx, r.main_text, r.err_count) for r in plain.collect()}
+    kb = {(r.conv_id, r.turn_idx, r.main_text, r.err_count) for r in routed.collect()}
+    assert ka == kb
+    assert len(kb) == base.count()
