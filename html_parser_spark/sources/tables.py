@@ -41,7 +41,7 @@ CREATE TABLE IF NOT EXISTS {catalog}.{db}.extracted (
   conv_id       STRING,
   turn_idx      INT,
   main_text     STRING,
-  spans         ARRAY<STRUCT<start: INT, end: INT, kind: STRING>>,
+  spans         ARRAY<STRUCT<start: INT, end: INT>>,
   err_count     INT,
   parse_status  STRING,
   n_tokens      INT,
