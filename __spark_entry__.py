@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # temporal joins Spark lacks natively (scalable decompositions)
         "rel_asof_join": temporal.asof_last_click,
         "rel_range_join": temporal.range_join_activity,
+        "rel_sessionize": temporal.sessionize,
     }
 
 
@@ -163,6 +164,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_json_props_stats": relational.json_props_stats_sql(),
         "rel_asof_join": temporal.asof_last_click_sql(),
         "rel_range_join": temporal.range_join_activity_sql(),
+        "rel_sessionize": temporal.sessionize_sql(),
         # no oracle (not SQL-expressible): extract_turns, extract_metrics,
         # dedup_simhash (bit-twiddling UDF), ann_lsh_topk (plane constants)
     }

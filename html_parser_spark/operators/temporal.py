@@ -78,6 +78,75 @@ def asof_last_click_sql() -> str:
     """
 
 
+SESSION_GAP_SEC = 1800  # 30-minute inactivity gap
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: per-user session summaries where a
+    >30-minute gap starts a new session.
+
+    Classic scalable form: one shuffle on user_id, then lag → boundary
+    flag → running sum = session number — no self-join, no state blowup.
+    (The streaming twin would be ``F.session_window``; this is the batch
+    backfill form.)"""
+    ev = _t(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    is_new = (
+        F.when(
+            F.lag(sec).over(w).isNull()
+            | ((sec - F.lag(sec).over(w)) > SESSION_GAP_SEC),
+            1,
+        )
+        .otherwise(0)
+    )
+    tagged = ev.select(
+        "user_id",
+        "event_id",
+        sec.alias("sec"),
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("session_seq"),
+    )
+    return (
+        tagged.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("sec").alias("start_sec"),
+            F.max("sec").alias("end_sec"),
+            (F.max("sec") - F.min("sec")).alias("duration_sec"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+def sessionize_sql() -> str:
+    return f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w IS NULL
+                    OR CAST(floor(epoch(ts)) AS BIGINT)
+                       - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w
+                       > {SESSION_GAP_SEC}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tagged AS (
+      SELECT user_id, event_id, sec,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, session_seq, count(*) AS n_events,
+           min(sec) AS start_sec, max(sec) AS end_sec,
+           max(sec) - min(sec) AS duration_sec
+    FROM tagged GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+    """
+
+
 BUCKET_SEC = 600  # 10-minute buckets = the range width → ≤2 buckets/probe
 
 

@@ -19,6 +19,24 @@ the engine's scan patterns prune:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+TRANSCRIPT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("role", StringType()),
+        StructField("text", StringType()),
+        StructField("tool", StringType()),
+        StructField("ts", TimestampType()),
+    ]
+)
 
 TRANSCRIPTS_DDL = """
 CREATE TABLE IF NOT EXISTS {catalog}.{db}.transcripts (
@@ -83,6 +101,37 @@ def read_table(spark: SparkSession, ref: str) -> DataFrame:
     if "/" not in ref and iceberg_available(spark):
         return spark.read.table(ref)
     return spark.read.parquet(ref)
+
+
+def read_transcripts(
+    spark: SparkSession, path: str, fmt: str | None = None
+) -> DataFrame:
+    """Read a transcripts table in any supported landing format with the
+    FIXED input_hint schema — never schema inference (a 10^12-row JSON
+    inference pass is a full extra scan, and drifting inferred types
+    would silently change downstream semantics)."""
+    # NB: CSV cannot round-trip NUL bytes (the parser drops them) — use
+    # parquet/JSON landings for corpora that may contain \x00 in text
+    fmt = fmt or (
+        "json"
+        if path.endswith((".json", ".jsonl", ".ndjson"))
+        else "csv"
+        if path.endswith(".csv")
+        else "parquet"
+    )
+    if fmt == "parquet":
+        return spark.read.schema(TRANSCRIPT_SCHEMA).parquet(path)
+    if fmt == "json":
+        return spark.read.schema(TRANSCRIPT_SCHEMA).json(path)
+    if fmt == "csv":
+        return (
+            spark.read.schema(TRANSCRIPT_SCHEMA)
+            .option("header", "true")
+            .option("multiLine", "true")
+            .option("escape", '"')
+            .csv(path)
+        )
+    raise ValueError(f"unsupported transcript format: {fmt}")
 
 
 def append_table(df: DataFrame, ref: str) -> None:

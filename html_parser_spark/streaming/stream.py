@@ -23,26 +23,9 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import (
-    IntegerType,
-    StringType,
-    StructField,
-    StructType,
-    TimestampType,
-)
 
 from ..operators.pipeline import _COLS, extract_udf
-
-TRANSCRIPT_SCHEMA = StructType(
-    [
-        StructField("conv_id", StringType()),
-        StructField("turn_idx", IntegerType()),
-        StructField("role", StringType()),
-        StructField("text", StringType()),
-        StructField("tool", StringType()),
-        StructField("ts", TimestampType()),
-    ]
-)
+from ..sources.tables import TRANSCRIPT_SCHEMA
 
 
 def read_transcript_stream(spark: SparkSession, input_dir: str) -> DataFrame:
