@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_scores": textstats.quality_scores,
         "text_langid": textstats.langid,
         "text_fingerprints": textstats.fingerprints,
+        "text_length_quantiles": textstats.length_quantiles,
         # multimodal plumbing (binary payload → mapInPandas metadata)
         "multimodal_metadata": multimodal.payload_metadata,
         # relational coverage (SURVEY.md §2.6)
@@ -152,6 +153,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_scores": textstats.quality_scores_sql(),
         "text_langid": textstats.langid_sql(),
         "text_fingerprints": textstats.fingerprints_sql(),
+        "text_length_quantiles": textstats.length_quantiles_sql(),
         "multimodal_metadata": multimodal.payload_metadata_sql(),
         "rel_pricing_summary": relational.pricing_summary_sql(),
         "rel_top_revenue_nations": relational.top_revenue_nations_sql(),
