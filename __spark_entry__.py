@@ -121,6 +121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": textstats.langid,
         "text_fingerprints": textstats.fingerprints,
         "text_length_quantiles": textstats.length_quantiles,
+        "text_distinct_counts": textstats.distinct_counts,
+        "text_distinct_approx": textstats.distinct_counts_approx,
         # multimodal plumbing (binary payload → mapInPandas metadata)
         "multimodal_metadata": multimodal.payload_metadata,
         # relational coverage (SURVEY.md §2.6)
@@ -154,6 +156,7 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": textstats.langid_sql(),
         "text_fingerprints": textstats.fingerprints_sql(),
         "text_length_quantiles": textstats.length_quantiles_sql(),
+        "text_distinct_counts": textstats.distinct_counts_sql(),
         "multimodal_metadata": multimodal.payload_metadata_sql(),
         "rel_pricing_summary": relational.pricing_summary_sql(),
         "rel_top_revenue_nations": relational.top_revenue_nations_sql(),

@@ -199,6 +199,53 @@ def length_quantiles_sql(table: str = "documents") -> str:
     """
 
 
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source distinct-fingerprint cardinality (dedup-rate
+    profiling).  Exact COUNT DISTINCT shuffles every distinct key — fine
+    at CI scale and as the oracle; the 100 TB path is
+    :func:`distinct_counts_approx`."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    return (
+        docs.select("source", F.md5(norm).alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_distinct"),
+        )
+        .orderBy("source")
+    )
+
+
+def distinct_counts_sql(table: str = "documents") -> str:
+    return f"""
+    SELECT source, count(*) AS n_docs,
+           count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+               AS n_distinct
+    FROM {table} GROUP BY source ORDER BY source
+    """
+
+
+def distinct_counts_approx(
+    spark: SparkSession, sf_dir: str, rsd: float = 0.02
+) -> DataFrame:
+    """HyperLogLog++ cardinality sketch — the scale path: fixed-size
+    sketch per group, map-side mergeable, no distinct-key shuffle.
+    Approximate by construction (driver check is rows-only; pytest
+    asserts ≤5% error vs the exact count)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    return (
+        docs.select("source", F.md5(norm).alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.approx_count_distinct("fp", rsd).alias("n_distinct_approx"),
+        )
+        .orderBy("source")
+    )
+
+
 def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: md5 over the whitespace-normalized lowercase
     text — the exact-dedup key, exposed as its own operator."""

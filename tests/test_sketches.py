@@ -1,0 +1,19 @@
+"""HLL sketch accuracy vs exact cardinality."""
+
+from html_parser_spark.operators.textstats import (
+    distinct_counts,
+    distinct_counts_approx,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_hll_within_5pct_of_exact(spark):
+    exact = {r.source: r.n_distinct for r in distinct_counts(spark, SF_DIR).collect()}
+    approx = {
+        r.source: r.n_distinct_approx
+        for r in distinct_counts_approx(spark, SF_DIR).collect()
+    }
+    assert set(exact) == set(approx)
+    for src, n in exact.items():
+        assert abs(approx[src] - n) <= max(2, 0.05 * n), (src, n, approx[src])
