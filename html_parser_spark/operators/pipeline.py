@@ -104,6 +104,7 @@ def run_extraction(
     salt_k: int = 8,
     passthrough: tuple = ("conv_id", "turn_idx"),
     long_text_threshold: int | None = None,
+    source_partitioned: bool = False,
 ) -> DataFrame:
     """transcripts DataFrame → extracted DataFrame.
 
@@ -120,9 +121,24 @@ def run_extraction(
     dedicated round-robin-balanced pass (few rows per partition, so no
     single task drags the stage tail) and unioned back.  At the 10^12
     target set it near the corpus P99.
+
+    ``source_partitioned=True`` drops the salted repartition entirely —
+    ZERO exchanges in the plan.  Use when the source layout already
+    spreads conversations (the Iceberg DDL's ``bucket(512, conv_id)``
+    transform, or any layout where no single input split is hot): at
+    100 TB this saves shuffling the whole corpus once (~25 TB of lz4'd
+    shuffle I/O).  Rows are still sorted by (conv_id, turn_idx) within
+    each split.
     """
     cols = list(dict.fromkeys([*passthrough, "text"]))
     pruned = df.select(*cols)
+    if source_partitioned:
+        ordered = pruned.sortWithinPartitions("conv_id", "turn_idx")
+        ext = ordered.withColumn("ext", extract_udf(F.col("text")))
+        return ext.select(
+            *[c for c in cols if c != "text"],
+            *[F.col(f"ext.{name}").alias(name) for name in _COLS],
+        )
     if long_text_threshold is not None:
         is_long = F.length("text") > long_text_threshold
         short = run_extraction(

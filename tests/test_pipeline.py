@@ -113,3 +113,20 @@ def test_stable_turn_ordering_within_partitions(spark, transcripts):
         .collect()
     )
     assert res and all(r.ok for r in res)
+
+
+def test_source_partitioned_skips_shuffle(spark, transcripts):
+    """Bucketed-source mode: zero exchanges, identical results."""
+    from pyspark.sql import functions as F
+
+    noshuffle = run_extraction(transcripts, source_partitioned=True)
+    plan = noshuffle._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
+
+    want = {
+        (r.conv_id, r.turn_idx, r.main_text)
+        for r in run_extraction(transcripts, num_partitions=8).collect()
+    }
+    got = {(r.conv_id, r.turn_idx, r.main_text) for r in noshuffle.collect()}
+    assert got == want
