@@ -24,6 +24,7 @@ from html_parser_spark.operators import (
     similarity,
     temporal,
     textstats,
+    udx,
 )
 from html_parser_spark.functions.display import display_expr, tokenize_udf
 from html_parser_spark.operators.pipeline import extraction_metrics, run_extraction
@@ -78,6 +79,13 @@ def _display_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map rollup over the transcript corpus."""
+    return udx.conversation_stats(
+        spark, _transcripts(spark, _sf_of(sf_dir))
+    ).orderBy("conv_id")
+
+
 def _token_stats(spark, sf_dir):
     return textstats.token_stats(spark, sf_dir)
 
@@ -103,6 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_metrics": _extract_metrics,
         "tokens_kind_counts": _token_kind_counts,
         "display_roundtrip": _display_roundtrip,
+        "conversation_stats": _conv_stats,
         # deduplication family
         "dedup_exact": dedup.exact_duplicates,
         "dedup_keep_list": dedup.dedup_keep_list,
@@ -139,6 +148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_asof_join": temporal.asof_last_click,
         "rel_range_join": temporal.range_join_activity,
         "rel_sessionize": temporal.sessionize,
+        "udaf_value_median": udx.user_value_median,
     }
 
 
@@ -170,6 +180,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_asof_join": temporal.asof_last_click_sql(),
         "rel_range_join": temporal.range_join_activity_sql(),
         "rel_sessionize": temporal.sessionize_sql(),
+        "udaf_value_median": udx.user_value_median_sql(),
         # no oracle (not SQL-expressible): extract_turns, extract_metrics,
         # dedup_simhash (bit-twiddling UDF), ann_lsh_topk (plane constants)
     }
