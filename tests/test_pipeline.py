@@ -130,3 +130,24 @@ def test_source_partitioned_skips_shuffle(spark, transcripts):
     }
     got = {(r.conv_id, r.turn_idx, r.main_text) for r in noshuffle.collect()}
     assert got == want
+
+
+def test_edge_inputs_flow_through(spark):
+    """NULL / empty / whitespace / markup-only / huge-token turns survive
+    the full distributed path with sane outputs."""
+    rows = [
+        ("c0", 0, None),
+        ("c0", 1, ""),
+        ("c0", 2, "   \t\n"),
+        ("c0", 3, "<div></div>"),
+        ("c0", 4, "x" * 100_000),
+        ("c0", 5, "<p>" + "y" * 50_000 + "</p>"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    got = {r.turn_idx: r for r in run_extraction(df, num_partitions=2).collect()}
+    assert got[0].parse_status == "null_input" and got[0].main_text == ""
+    assert got[1].main_text == "" and got[1].parse_status == "ok"
+    assert got[2].main_text == ""
+    assert got[3].main_text == "" and got[3].n_blocks == 0
+    assert got[4].main_text == "x" * 100_000
+    assert got[5].main_text == "y" * 50_000
