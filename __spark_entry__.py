@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_length_quantiles": textstats.length_quantiles,
         "text_distinct_counts": textstats.distinct_counts,
         "text_distinct_approx": textstats.distinct_counts_approx,
+        "text_quantiles_approx": textstats.length_quantiles_approx,
         # multimodal plumbing (binary payload → mapInPandas metadata)
         "multimodal_metadata": multimodal.payload_metadata,
         # relational coverage (SURVEY.md §2.6)

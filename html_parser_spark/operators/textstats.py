@@ -226,6 +226,30 @@ def distinct_counts_sql(table: str = "documents") -> str:
     """
 
 
+def length_quantiles_approx(
+    spark: SparkSession, sf_dir: str, accuracy: int = 10000
+) -> DataFrame:
+    """Approximate quantiles — the 100 TB path (Greenwald-Khanna style
+    mergeable summaries, bounded memory per group, vs the exact
+    percentile's full sort).  Approximate by construction → rows-only
+    driver check; pytest bounds the error vs the exact quantiles."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = F.expr(
+        f"approx_percentile(n_chars, array(0.25, 0.5, 0.9, 0.99), {accuracy})"
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            q.getItem(0).alias("p25"),
+            q.getItem(1).alias("p50"),
+            q.getItem(2).alias("p90"),
+            q.getItem(3).alias("p99"),
+        )
+        .orderBy("source")
+    )
+
+
 def distinct_counts_approx(
     spark: SparkSession, sf_dir: str, rsd: float = 0.02
 ) -> DataFrame:

@@ -14,6 +14,10 @@ spark-submit job all run the same plan shape (SURVEY.md §4.2):
 - ``shuffle_partitions`` is still set explicitly (AQE coalesces down from
   it, never up): cluster formula ≈ input_bytes / 128 MB; in the local[32]
   sandbox 32–64 is right.
+- task-slot sizing: for Python-UDF-dominated stages leave ~12% of cores
+  slot-free for the JVM's shuffle/Arrow threads (measured: local[28] >
+  local[32] on a 32-core box, BENCH.md) — on a cluster,
+  ``spark.executor.cores`` ≈ 0.85–0.9 × vcores.
 """
 
 from __future__ import annotations

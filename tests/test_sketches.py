@@ -17,3 +17,18 @@ def test_hll_within_5pct_of_exact(spark):
     assert set(exact) == set(approx)
     for src, n in exact.items():
         assert abs(approx[src] - n) <= max(2, 0.05 * n), (src, n, approx[src])
+
+
+def test_approx_quantiles_close_to_exact(spark):
+    from html_parser_spark.operators.textstats import (
+        length_quantiles,
+        length_quantiles_approx,
+    )
+
+    exact = {r.source: (r.p25, r.p50, r.p90, r.p99)
+             for r in length_quantiles(spark, SF_DIR).collect()}
+    approx = {r.source: (r.p25, r.p50, r.p90, r.p99)
+              for r in length_quantiles_approx(spark, SF_DIR).collect()}
+    for src, ex in exact.items():
+        for a, e in zip(approx[src], ex):
+            assert abs(a - e) <= max(5, 0.02 * e), (src, a, e)
