@@ -29,6 +29,9 @@ def test_approx_quantiles_close_to_exact(spark):
              for r in length_quantiles(spark, SF_DIR).collect()}
     approx = {r.source: (r.p25, r.p50, r.p90, r.p99)
               for r in length_quantiles_approx(spark, SF_DIR).collect()}
+    # approx_percentile returns actual data values (rank-error bound, no
+    # interpolation) — with ~50 docs/source the tail quantiles can sit a
+    # few percent from the interpolated exact value
     for src, ex in exact.items():
         for a, e in zip(approx[src], ex):
-            assert abs(a - e) <= max(5, 0.02 * e), (src, a, e)
+            assert abs(a - e) <= max(20, 0.05 * e), (src, a, e)
