@@ -1018,6 +1018,13 @@ def tokenize(text: str, initial_state: int = DATA):
 
         elif state == BOGUS_COMMENT:
             # mod.rs:688-715
+            if not recon and pos < n:
+                m = _BOGUS_BREAK.search(text, pos)
+                j = m.start() if m else n
+                if j > pos:
+                    if tok_kind == 2:
+                        comment_data += text[pos:j]
+                    pos = j
             if recon:
                 recon = False
                 c = cur
