@@ -45,7 +45,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _extract_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_extraction(_transcripts(spark, _sf_of(sf_dir)))
+    """Flagship extraction, driver-facing projection.
+
+    The driver's canonicalizer sorts/hashes columns via pandas and cannot
+    factorize an ``array<struct>`` column (round-1 hard err), so the spans
+    column is serialized to a stable JSON scalar here; ``run_extraction``
+    keeps the typed struct column for real consumers."""
+    ext = run_extraction(_transcripts(spark, _sf_of(sf_dir)))
+    return ext.select(
+        *[c for c in ext.columns if c != "spans"],
+        F.to_json("spans").alias("spans_json"),
+    )
 
 
 def _extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -86,10 +86,12 @@ def display_expr(tokens: Column) -> Column:
     entirely with built-in higher-order functions (stays in codegen)."""
 
     def one(t: Column) -> Column:
-        attrs_str = F.aggregate(
-            F.coalesce(t["attrs"], F.array()),
-            F.lit(""),
-            lambda acc, a: F.concat(acc, a["name"], F.lit(" : "), a["value"], F.lit(" ")),
+        attrs_str = F.concat_ws(
+            "",
+            F.transform(
+                F.coalesce(t["attrs"], F.array()),
+                lambda a: F.concat(a["name"], F.lit(" : "), a["value"], F.lit(" ")),
+            ),
         )
         return (
             F.when(t["kind"] == "chars", t["data"])
@@ -109,7 +111,10 @@ def display_expr(tokens: Column) -> Column:
             .otherwise(F.lit(""))  # eof
         )
 
-    return F.aggregate(tokens, F.lit(""), lambda acc, t: F.concat(acc, one(t)))
+    # concat_ws over a transformed array is linear in total output size;
+    # the round-1 aggregate+concat fold re-copied the accumulator per
+    # token (O(n²) string bytes on long token arrays)
+    return F.concat_ws("", F.transform(tokens, one))
 
 
 def token_to_display(tok) -> str:

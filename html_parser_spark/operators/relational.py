@@ -9,7 +9,7 @@ ops, date and JSON scalar functions.  Each has an exact DuckDB oracle in
 
 Scale notes are per-query docstrings; common rules: dimension sides are
 broadcast (no shuffle of the fact table for the join), aggregates use
-decimal-free rounded doubles only at the final projection, and every
+floor(x*10000) BIGINT basis points at the final projection (never ROUND), and every
 ORDER BY is top-k-able (Spark plans TakeOrderedAndProject, no full sort).
 """
 
@@ -30,12 +30,19 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            # driver contract: never ROUND on doubles (HALF_UP vs engine
+            # tie-breaking differs) — export floor(x*10000) BIGINT basis
+            # points on both sides
+            F.floor(F.sum("l_quantity") * 10000).cast("long").alias("sum_qty_bp"),
+            F.floor(F.sum("l_extendedprice") * 10000)
+            .cast("long")
+            .alias("sum_base_price_bp"),
+            F.floor(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000
+            )
+            .cast("long")
+            .alias("sum_disc_price_bp"),
+            F.floor(F.avg("l_quantity") * 10000).cast("long").alias("avg_qty_bp"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -45,10 +52,11 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pricing_summary_sql() -> str:
     return """
     SELECT l_returnflag, l_linestatus,
-           ROUND(sum(l_quantity), 2) AS sum_qty,
-           ROUND(sum(l_extendedprice), 2) AS sum_base_price,
-           ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(avg(l_quantity), 4) AS avg_qty,
+           CAST(floor(sum(l_quantity) * 10000) AS BIGINT) AS sum_qty_bp,
+           CAST(floor(sum(l_extendedprice) * 10000) AS BIGINT) AS sum_base_price_bp,
+           CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)
+               AS sum_disc_price_bp,
+           CAST(floor(avg(l_quantity) * 10000) AS BIGINT) AS avg_qty_bp,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -69,22 +77,23 @@ def top_revenue_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.floor(F.sum("o_totalprice") * 10000).cast("long").alias("revenue_bp"),
             F.count(F.lit(1)).alias("n_orders"),
         )
-        .orderBy(F.desc("revenue"))
+        .orderBy(F.desc("revenue_bp"), F.asc("n_name"))
         .limit(10)
     )
 
 
 def top_revenue_nations_sql() -> str:
     return """
-    SELECT n_name, ROUND(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+    SELECT n_name, CAST(floor(sum(o_totalprice) * 10000) AS BIGINT) AS revenue_bp,
+           count(*) AS n_orders
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
     GROUP BY n_name
-    ORDER BY revenue DESC LIMIT 10
+    ORDER BY revenue_bp DESC, n_name ASC LIMIT 10
     """
 
 
@@ -116,18 +125,23 @@ def parts_with_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_partkey")
     return (
         part.join(li, part.p_partkey == li.l_partkey, "left_semi")
-        .select("p_partkey", "p_name", F.round("p_retailprice", 2).alias("price"))
-        .orderBy(F.desc("price"), F.asc("p_partkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            F.floor(F.col("p_retailprice") * 10000).cast("long").alias("price_bp"),
+        )
+        .orderBy(F.desc("price_bp"), F.asc("p_partkey"))
         .limit(20)
     )
 
 
 def parts_with_shipments_sql() -> str:
     return """
-    SELECT p_partkey, p_name, ROUND(p_retailprice, 2) AS price
+    SELECT p_partkey, p_name,
+           CAST(floor(p_retailprice * 10000) AS BIGINT) AS price_bp
     FROM part
     WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
-    ORDER BY price DESC, p_partkey ASC LIMIT 20
+    ORDER BY price_bp DESC, p_partkey ASC LIMIT 20
     """
 
 
@@ -174,7 +188,7 @@ def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("event_type", "day")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.floor(F.sum("value") * 10000).cast("long").alias("total_value_bp"),
         )
         .orderBy("event_type", "day")
     )
@@ -183,7 +197,8 @@ def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_daily_rollup_sql() -> str:
     return """
     SELECT event_type, CAST(ts AS DATE) AS day,
-           count(*) AS n_events, ROUND(sum(value), 2) AS total_value
+           count(*) AS n_events,
+           CAST(floor(sum(value) * 10000) AS BIGINT) AS total_value_bp
     FROM events
     GROUP BY ROLLUP (event_type, CAST(ts AS DATE))
     ORDER BY event_type, day
@@ -198,7 +213,7 @@ def events_monthly_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube("event_type", "month")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.floor(F.sum("value") * 10000).cast("long").alias("total_value_bp"),
         )
         .orderBy("event_type", "month")
     )
@@ -207,7 +222,8 @@ def events_monthly_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_monthly_cube_sql() -> str:
     return """
     SELECT event_type, CAST(month(ts) AS BIGINT) AS month,
-           count(*) AS n_events, ROUND(sum(value), 2) AS total_value
+           count(*) AS n_events,
+           CAST(floor(sum(value) * 10000) AS BIGINT) AS total_value_bp
     FROM events
     GROUP BY CUBE (event_type, CAST(month(ts) AS BIGINT))
     ORDER BY event_type, month
@@ -241,7 +257,7 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.floor(F.avg("k") * 10000).cast("long").alias("avg_k_bp"),
             F.max("k").alias("max_k"),
         )
         .orderBy("event_type")
@@ -251,7 +267,8 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def json_props_stats_sql() -> str:
     return """
     SELECT event_type, count(*) AS n_events,
-           ROUND(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+           CAST(floor(avg(CAST(json_extract_string(props, '$.k') AS INT)) * 10000)
+                AS BIGINT) AS avg_k_bp,
            max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
     FROM events GROUP BY event_type ORDER BY event_type
     """

@@ -13,10 +13,19 @@ scheme reduces to.  The key scan reads ONLY the two key columns (column
 pruning makes this cheap even on a 10^12-row output table; on Iceberg it
 would also prune by partition).
 
-Lineage: one row per task partition via ``mapInPandas`` —
-(partition_id, key range, turns, main-text bytes, parse errors).  This is
-the "per-partition lineage rows" artifact: each committed write carries
-the evidence of which partitions produced it.
+Cost discipline (round-2 rewrite): the expensive extraction runs EXACTLY
+ONCE, as the write job — no pre-``count()`` over the input, no
+full-output ``.cache()`` (at 10^12 turns those were two extra input
+scans plus an output-sized cache that cannot fit).  Lineage and metrics
+are derived afterwards from the COMMITTED output of this run (tagged
+with ``run_id``): column-pruned scans of the files just written, never a
+recompute of the Python extraction.
+
+Lineage: one row per scan partition of the committed run via
+``mapInPandas`` — (partition_id, key range, turns, main-text chars,
+parse errors).  Each committed write carries the evidence of which data
+it produced; only fixed-width columns cross into Python
+(``length(main_text)`` is computed JVM-side before the UDF).
 """
 
 from __future__ import annotations
@@ -35,7 +44,7 @@ from .pipeline import extraction_metrics, run_extraction
 KEYS = ("conv_id", "turn_idx")
 
 LINEAGE_SCHEMA = (
-    "run_id string, partition_id int, n_turns long, main_text_bytes long, "
+    "run_id string, partition_id int, n_turns long, main_text_chars long, "
     "err_count long, min_conv_id string, max_conv_id string, "
     "min_turn_idx int, max_turn_idx int"
 )
@@ -61,7 +70,7 @@ def _lineage_batches(run_id: str):
 
         pid = TaskContext.get().partitionId()
         n = 0
-        tbytes = 0
+        tchars = 0
         errs = 0
         min_c = max_c = None
         min_t = max_t = None
@@ -69,7 +78,7 @@ def _lineage_batches(run_id: str):
             if len(pdf) == 0:
                 continue
             n += len(pdf)
-            tbytes += int(pdf["main_text"].str.len().sum())
+            tchars += int(pdf["main_chars"].sum())
             errs += int(pdf["err_count"].sum())
             c_lo, c_hi = pdf["conv_id"].min(), pdf["conv_id"].max()
             t_lo, t_hi = int(pdf["turn_idx"].min()), int(pdf["turn_idx"].max())
@@ -84,7 +93,7 @@ def _lineage_batches(run_id: str):
                         "run_id": run_id,
                         "partition_id": pid,
                         "n_turns": n,
-                        "main_text_bytes": tbytes,
+                        "main_text_chars": tchars,
                         "err_count": errs,
                         "min_conv_id": min_c,
                         "max_conv_id": max_c,
@@ -98,9 +107,15 @@ def _lineage_batches(run_id: str):
 
 
 def lineage_rows(extracted: DataFrame, run_id: str) -> DataFrame:
-    """One lineage row per task partition of ``extracted``."""
+    """One lineage row per scan partition of ``extracted``.
+
+    Only (keys, length, err_count) cross the Arrow boundary — the text
+    column itself stays JVM-side."""
     return extracted.select(
-        "conv_id", "turn_idx", "main_text", "err_count"
+        "conv_id",
+        "turn_idx",
+        F.length("main_text").alias("main_chars"),
+        "err_count",
     ).mapInPandas(_lineage_batches(run_id), schema=LINEAGE_SCHEMA)
 
 
@@ -115,37 +130,45 @@ def run_resumable(
     """One resumable extraction pass.
 
     Writes (all parquet append, job-commit-atomic per write):
-      - ``{out_dir}/extracted``  — the output table
+      - ``{out_dir}/extracted``  — the output table (+ ``run_id`` column)
       - ``{out_dir}/lineage``    — per-partition lineage rows for this run
       - ``{out_dir}/metrics``    — per-status rollup for this run
 
-    Returns a summary dict {run_id, n_input, n_new, n_written}.
+    Returns a summary dict {run_id, n_new, n_written}, both counts derived
+    from the written lineage rows (no extra pass over the input; n_new ==
+    n_written by construction of the anti-join).
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     out_path = os.path.join(out_dir, "extracted")
     done = committed_keys(spark, out_path)
     todo = filter_uncommitted(transcripts, done)
-    n_input = transcripts.count()
-    n_new = todo.count()
-    if n_new == 0:
-        return {"run_id": run_id, "n_input": n_input, "n_new": 0, "n_written": 0}
 
-    extracted = run_extraction(todo, num_partitions=num_partitions).cache()
-    n_written = extracted.count()
+    # THE extraction job — the only pass over the input text
+    extracted = run_extraction(todo, num_partitions=num_partitions).withColumn(
+        "run_id", F.lit(run_id)
+    )
     append_table(extracted, out_path)
+
+    # lineage + metrics from the committed files of this run (column-pruned
+    # scans of just-written parquet; run_id filter prunes older runs)
+    committed = read_table(spark, out_path).filter(F.col("run_id") == run_id)
     append_table(
-        lineage_rows(extracted, run_id), os.path.join(out_dir, "lineage")
+        lineage_rows(committed, run_id), os.path.join(out_dir, "lineage")
     )
     append_table(
-        extraction_metrics(extracted)
+        extraction_metrics(committed)
         .withColumn("run_id", F.lit(run_id))
         .withColumn("run_ts", F.lit(int(time.time())).cast("long")),
         os.path.join(out_dir, "metrics"),
     )
-    extracted.unpersist()
+    n_written = (
+        read_table(spark, os.path.join(out_dir, "lineage"))
+        .filter(F.col("run_id") == run_id)
+        .agg(F.coalesce(F.sum("n_turns"), F.lit(0)).alias("n"))
+        .first()["n"]
+    )
     return {
         "run_id": run_id,
-        "n_input": n_input,
-        "n_new": n_new,
-        "n_written": n_written,
+        "n_new": int(n_written),
+        "n_written": int(n_written),
     }

@@ -17,6 +17,7 @@ Two paths:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 N_QUERIES = 5
@@ -50,7 +51,10 @@ def cosine_topk(
     """Exact top-k cosine neighbors for the first ``n_queries`` vectors.
 
     Broadcast the query side; rank with a window over (query_id), ordered
-    by unrounded similarity with vec_id tie-break for determinism.
+    by the QUANTIZED similarity (basis points) with vec_id tie-break —
+    ranking on the raw double would make neighbor order depend on
+    bit-identical double summation across engines (sub-bp float noise
+    must not flip ranks in the cross-engine hash).
     """
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < n_queries).select(
@@ -63,13 +67,13 @@ def cosine_topk(
         _norm(F.col("q_emb")) * _norm(F.col("e.embedding"))
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.desc("sim_exact"), F.asc("neighbor_id")
+        F.desc("cosine_bp"), F.asc("neighbor_id")
     )
     return (
         pairs.select(
             "query_id",
             F.col("e.vec_id").alias("neighbor_id"),
-            sim.alias("sim_exact"),
+            F.floor(sim * 10000).cast("long").alias("cosine_bp"),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -77,7 +81,7 @@ def cosine_topk(
             "query_id",
             F.col("rank").cast("long").alias("rank"),
             "neighbor_id",
-            F.floor(F.col("sim_exact") * 10000).cast("long").alias("cosine_bp"),
+            "cosine_bp",
         )
     )
 
@@ -107,13 +111,15 @@ def cosine_topk_sql(
       FROM {table} e JOIN q ON e.vec_id <> q.query_id
     ),
     ranked AS (
-      SELECT query_id, neighbor_id, sim_exact,
+      SELECT query_id, neighbor_id,
+             CAST(floor(sim_exact * 10000) AS BIGINT) AS cosine_bp,
              row_number() OVER (PARTITION BY query_id
-                                ORDER BY sim_exact DESC, neighbor_id ASC) AS rank
+                                ORDER BY CAST(floor(sim_exact * 10000) AS BIGINT)
+                                           DESC,
+                                         neighbor_id ASC) AS rank
       FROM pairs
     )
-    SELECT query_id, rank, neighbor_id,
-           CAST(floor(sim_exact * 10000) AS BIGINT) AS cosine_bp
+    SELECT query_id, rank, neighbor_id, cosine_bp
     FROM ranked WHERE rank <= {k}
     """
 
@@ -130,16 +136,26 @@ def _planes(dim: int, n_planes: int, seed: int = 1234):
     return rng.standard_normal((n_planes, dim))
 
 
+EMB_DIM = 64  # testdata embeddings schema (TESTDATA.md); callers override
+
+
 def lsh_signatures(
-    spark: SparkSession, sf_dir: str, n_planes: int = 8, seed: int = 1234
+    spark: SparkSession,
+    sf_dir: str,
+    n_planes: int = 8,
+    seed: int = 1234,
+    dim: int = EMB_DIM,
 ) -> DataFrame:
     """vec_id → LSH bucket (sign pattern over the hyperplanes).
 
     Planes are inlined as literal arrays: the sign-dot per plane is a
     built-in fold, no Python.  Bucket cardinality 2^n_planes; at 100 TB
-    tune n_planes so buckets fit an executor (~log2(n_vectors/10^5))."""
+    tune n_planes so buckets fit an executor (~log2(n_vectors/10^5)).
+
+    ``dim`` is a parameter (callers know their embedding width) so plan
+    construction triggers NO driver-side Spark action — the round-1
+    ``.first()`` here was a hidden job per plan build."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    dim = len(emb.select("embedding").first()[0])
     planes = _planes(dim, n_planes, seed)
     bucket = F.lit(0)
     for i, p in enumerate(planes):
@@ -173,13 +189,13 @@ def lsh_topk(
         _norm(F.col("q_emb")) * _norm(F.col("e.embedding"))
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.desc("sim_exact"), F.asc("neighbor_id")
+        F.desc("cosine_bp"), F.asc("neighbor_id")
     )
     return (
         pairs.select(
             "query_id",
             F.col("e.vec_id").alias("neighbor_id"),
-            sim.alias("sim_exact"),
+            F.floor(sim * 10000).cast("long").alias("cosine_bp"),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -187,18 +203,100 @@ def lsh_topk(
             "query_id",
             F.col("rank").cast("long").alias("rank"),
             "neighbor_id",
+            "cosine_bp",
+        )
+    )
+
+
+def band_signature_udf(n_bands: int, band_bits: int, seed: int, dim: int):
+    """Vectorized pandas UDF: embedding → array of ``n_bands`` band values.
+
+    One numpy matmul per Arrow batch (batch×dim @ dim×(n_bands·band_bits)
+    sign bits, packed per band) — the per-vector work built-in folds can't
+    express without a ~256-term Catalyst expression tree."""
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    planes = _planes(dim, n_bands * band_bits, seed)
+    weights = (1 << np.arange(band_bits)).astype(np.int64)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _bands(embs: pd.Series) -> pd.Series:
+        mat = np.array(embs.tolist(), dtype=np.float64)
+        bits = (mat @ planes.T) > 0
+        vals = bits.reshape(len(mat), n_bands, band_bits) @ weights
+        return pd.Series(list(vals.astype(np.int32)))
+
+    return _bands
+
+
+def embedding_near_dups(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.9,
+    n_bands: int = 32,
+    band_bits: int = 8,
+    seed: int = 4321,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above ``threshold``.
+
+    Scale path (round-2 rewrite; round 1 shipped the all-pairs theta join
+    = BroadcastNestedLoopJoin, quadratic): banded random-hyperplane LSH —
+    candidates are pairs that agree on ≥1 of ``n_bands`` ``band_bits``-bit
+    sign bands (equi self-join on (band_idx, band_val), never all-pairs),
+    then an exact cosine re-score over the candidates.  Miss probability
+    per true pair at cosine τ with per-plane disagreement q = acos(τ)/π:
+    (1 − (1−q)^band_bits)^n_bands — at τ=0.9 (q=0.144) with the 32×8-bit
+    default ≈ 1.8e-5, and it vanishes as τ→1 (planted near-dups).  At
+    10^9+ vectors raise ``band_bits`` (16-20) so band buckets stay small;
+    recall vs the exact all-pairs form is asserted on planted-duplicate
+    data in tests/test_similarity.py.
+    """
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bands = band_signature_udf(n_bands, band_bits, seed, dim)
+    sig = emb.select("vec_id", bands(F.col("embedding")).alias("bands"))
+    cand = sig.select(
+        "vec_id", F.posexplode("bands").alias("band_idx", "band_val")
+    )
+    ca = cand.select(
+        F.col("vec_id").alias("vec_a"), "band_idx", "band_val"
+    )
+    cb = cand.select(
+        F.col("vec_id").alias("vec_b"), "band_idx", "band_val"
+    )
+    pairs = (
+        ca.join(cb, ["band_idx", "band_val"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    sim = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
+    return (
+        pairs.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", sim.alias("sim_exact"))
+        .filter(F.col("sim_exact") >= threshold)
+        .select(
+            "vec_a",
+            "vec_b",
             F.floor(F.col("sim_exact") * 10000).cast("long").alias("cosine_bp"),
         )
     )
 
 
-def embedding_near_dups(
+def embedding_near_dups_allpairs(
     spark: SparkSession, sf_dir: str, threshold: float = 0.9
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs above ``threshold``.
+    """Exact all-pairs form (theta join → BroadcastNestedLoopJoin).
 
-    Sandbox-scale uses the exact all-pairs product; the scale path is the
-    same re-score over :func:`lsh_signatures` buckets (swap the join)."""
+    CI-scale truth for the recall test ONLY — quadratic, never the shipped
+    plan.  The DuckDB oracle (:func:`embedding_near_dups_sql`) is the same
+    all-pairs computation, so the driver check verifies the LSH path's
+    recall end-to-end."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))

@@ -135,8 +135,12 @@ def sessionize_sql() -> str:
     ),
     tagged AS (
       SELECT user_id, event_id, sec,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_seq
+             -- DuckDB types a windowed SUM as HUGEINT, which lands in the
+             -- driver canonicalizer as float64 and breaks the value hash
+             -- (round-1 rel_sessionize FAIL); driver contract: ints as
+             -- BIGINT both sides.
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
       FROM flagged
     )
     SELECT user_id, session_seq, count(*) AS n_events,

@@ -64,7 +64,8 @@ CREATE TABLE IF NOT EXISTS {catalog}.{db}.extracted (
   parse_status  STRING,
   n_tokens      INT,
   n_blocks      INT,
-  n_kept_blocks INT
+  n_kept_blocks INT,
+  run_id        STRING
 ) USING iceberg
 PARTITIONED BY (bucket(512, conv_id))
 TBLPROPERTIES ('write.target-file-size-bytes' = '134217728')

@@ -1,0 +1,68 @@
+"""Banded-LSH embedding near-dup: recall vs the exact all-pairs form.
+
+The driver testdata embeddings contain NO pair above cosine 0.85 (checked:
+max pair cosine ≈ 0.51), so the sf0.01 oracle row is trivially 0=0 and
+proves nothing about recall.  This test plants real near-duplicates
+(cosine ~0.87-0.999) and asserts the banded-LSH candidate path returns
+EXACTLY the all-pairs result, plus that the shipped plan never contains a
+nested-loop / cartesian join.
+"""
+
+import numpy as np
+import pytest
+
+from html_parser_spark.operators.similarity import (
+    embedding_near_dups,
+    embedding_near_dups_allpairs,
+)
+
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def planted_dir(spark, tmp_path_factory):
+    """Parquet embeddings table with 25 planted near-dup pairs."""
+    rng = np.random.default_rng(20260817)
+    base = rng.standard_normal((120, DIM))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    # planted near-dups: v + eps*noise, eps swept so cosine spans ~0.87-0.999
+    for j in range(25):
+        v = base[j]
+        eps = 0.05 + 0.02 * j  # cos ≈ 1/sqrt(1+eps²) per unit-norm noise dir
+        noise = rng.standard_normal(DIM)
+        noise = noise / np.linalg.norm(noise) * np.linalg.norm(v) * eps
+        rows.append((1000 + j, [float(x) for x in (v + noise)]))
+    d = tmp_path_factory.mktemp("planted")
+    spark.createDataFrame(rows, "vec_id: long, embedding: array<float>").coalesce(
+        1
+    ).write.parquet(f"{d}/embeddings.parquet")
+    return str(d)
+
+
+def _pairs(df):
+    return {(r.vec_a, r.vec_b, r.cosine_bp) for r in df.collect()}
+
+
+def test_lsh_near_dups_match_allpairs_on_planted(spark, planted_dir):
+    exact = _pairs(embedding_near_dups_allpairs(spark, planted_dir, threshold=0.9))
+    lsh = _pairs(embedding_near_dups(spark, planted_dir, threshold=0.9))
+    assert len(exact) >= 15  # the plant actually produced near-dups
+    assert lsh == exact
+
+
+def test_lsh_near_dups_recall_at_lower_threshold(spark, planted_dir):
+    """Pairs barely above the threshold (worst case for band recall)."""
+    exact = _pairs(embedding_near_dups_allpairs(spark, planted_dir, threshold=0.87))
+    lsh = _pairs(embedding_near_dups(spark, planted_dir, threshold=0.87))
+    assert lsh == exact
+
+
+def test_near_dups_plan_has_no_nested_loop(spark):
+    plan = (
+        embedding_near_dups(spark, "/root/testdata/sf0.01")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
