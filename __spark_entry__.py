@@ -11,6 +11,7 @@ DuckDB oracle where expressible.
 
 from __future__ import annotations
 
+import os
 import re
 from collections.abc import Callable
 
@@ -114,6 +115,24 @@ TOKEN_STATS_SQL = """
 """
 
 
+def _conv_stats_oracle() -> str:
+    """DuckDB twin of the applyInPandas conversation rollup — plain GROUP
+    BY over the same transcripts parquet (read directly by path; the
+    driver's pre-registered views don't include transcripts).  The sf
+    follows the driver's gate (0.01) unless the local test harness pins a
+    different dir via SPARK_GRAFT_TEST_SF_DIR."""
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR")
+    path = ensure_transcripts(_sf_of(sf_dir) if sf_dir else 0.01)
+    return f"""
+    SELECT conv_id, count(*) AS n_turns,
+           count(DISTINCT role) AS n_roles,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           count(DISTINCT text) AS n_distinct_texts
+    FROM read_parquet('{path}')
+    GROUP BY conv_id ORDER BY conv_id
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # flagship extraction (tokenizer not SQL-expressible → rows-only)
@@ -171,7 +190,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_candidates": dedup.minhash_candidates_sql(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_sql(),
         "dedup_embedding_cosine": similarity.embedding_near_dups_sql(),
+        "dedup_simhash": dedup.simhash_sketches_sql(),
         "ann_cosine_topk": similarity.cosine_topk_sql(),
+        "ann_lsh_topk": similarity.lsh_topk_sql(),
+        "conversation_stats": _conv_stats_oracle(),
         "text_token_stats": TOKEN_STATS_SQL,
         "text_quality_scores": textstats.quality_scores_sql(),
         "text_langid": textstats.langid_sql(),
@@ -192,6 +214,9 @@ def oracle_sql() -> dict[str, str]:
         "rel_range_join": temporal.range_join_activity_sql(),
         "rel_sessionize": temporal.sessionize_sql(),
         "udaf_value_median": udx.user_value_median_sql(),
-        # no oracle (not SQL-expressible): extract_turns, extract_metrics,
-        # dedup_simhash (bit-twiddling UDF), ann_lsh_topk (plane constants)
+        # no oracle (not SQL-expressible — tokenization): extract_turns,
+        # extract_metrics, tokens_kind_counts, display_roundtrip; plus
+        # dedup_simhash_pairs (derived from the oracled sketches),
+        # text_distinct_approx / text_quantiles_approx (sketch outputs —
+        # exact twins are oracled), multimodal stubs
     }

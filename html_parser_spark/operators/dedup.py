@@ -292,6 +292,39 @@ def simhash_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", _simhash_udf(F.col("text")).alias("simhash"))
 
 
+def simhash_sketches_sql(table: str = "documents") -> str:
+    """DuckDB twin of :func:`simhash_sketches` — md5 bit-twiddling in SQL.
+
+    Mirrors simhash64 exactly: per word, the first 8 bytes of md5 (hex
+    substring parsed as UBIGINT), then a +1/-1 vote per bit position and
+    a sign threshold; empty/whitespace-only docs get sketch 0 (Python
+    ``''.split()`` → ``[]``) via the LEFT JOIN coalesce."""
+    return f"""
+    WITH words AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+      FROM {table} WHERE trim(text) <> ''
+    ),
+    hashes AS (
+      SELECT doc_id, ('0x' || substring(md5(w), 1, 16))::UBIGINT AS h
+      FROM words
+    ),
+    bits AS (
+      SELECT doc_id, g.i,
+             CASE WHEN sum(CASE WHEN (h >> g.i) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                  THEN 1::UBIGINT ELSE 0::UBIGINT END AS bit
+      FROM hashes CROSS JOIN (SELECT unnest(range(64)) AS i) g
+      GROUP BY doc_id, g.i
+    ),
+    sketch AS (
+      SELECT doc_id, sum(bit << i)::UBIGINT AS sh FROM bits GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           lpad(lower(hex(coalesce(s.sh, 0::UBIGINT))), 16, '0') AS simhash
+    FROM {table} d LEFT JOIN sketch s USING (doc_id)
+    """
+
+
 def simhash_near_dups(
     spark: SparkSession, sf_dir: str, max_hamming: int = 3
 ) -> DataFrame:

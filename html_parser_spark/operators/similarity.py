@@ -231,6 +231,68 @@ def band_signature_udf(n_bands: int, band_bits: int, seed: int, dim: int):
     return _bands
 
 
+def lsh_topk_sql(
+    table: str = "embeddings",
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    n_planes: int = 4,
+    seed: int = 1234,
+    dim: int = EMB_DIM,
+) -> str:
+    """DuckDB twin of :func:`lsh_topk`: the SAME seeded hyperplanes are
+    inlined as DOUBLE[] literals (repr round-trips float64 exactly), so
+    both engines compute identical sign buckets, then the exact re-score
+    mirrors :func:`cosine_topk_sql` with quantized ranking."""
+    planes = _planes(dim, n_planes, seed)
+
+    def plane_lit(p) -> str:
+        return "[" + ", ".join(repr(float(v)) for v in p) + "]::DOUBLE[]"
+
+    def plane_dot(p) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({plane_lit(p)}, embedding), "
+            "p -> p[1] * CAST(p[2] AS DOUBLE)))"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {plane_dot(p)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    dot_qe = (
+        "list_sum(list_transform(list_zip(q.q_emb, e.embedding), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+
+    def norm(col: str) -> str:
+        return (
+            f"sqrt(list_sum(list_transform({col}, "
+            "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        )
+
+    return f"""
+    WITH sig AS (
+      SELECT vec_id, embedding, {bucket} AS bucket FROM {table}
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket AS q_bucket
+          FROM sig WHERE vec_id < {n_queries}),
+    pairs AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {dot_qe} / ({norm('q.q_emb')} * {norm('e.embedding')}) AS sim_exact
+      FROM sig e JOIN q ON e.bucket = q.q_bucket AND e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             CAST(floor(sim_exact * 10000) AS BIGINT) AS cosine_bp,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY CAST(floor(sim_exact * 10000) AS BIGINT)
+                                           DESC,
+                                         neighbor_id ASC) AS rank
+      FROM pairs
+    )
+    SELECT query_id, rank, neighbor_id, cosine_bp FROM ranked WHERE rank <= {k}
+    """
+
+
 def embedding_near_dups(
     spark: SparkSession,
     sf_dir: str,

@@ -87,14 +87,18 @@ CONV_STATS_SCHEMA = (
 
 
 def _conv_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+    # NOT pandas .nunique(): its all-string fast path hashes via
+    # NUL-terminated C strings, silently merging distinct texts that share
+    # a prefix up to an embedded \x00 (transcript texts contain NULs).
+    # Python sets hash the full string.
     return pd.DataFrame(
         [
             {
                 "conv_id": pdf["conv_id"].iloc[0],
                 "n_turns": len(pdf),
-                "n_roles": pdf["role"].nunique(),
+                "n_roles": len(set(pdf["role"])),
                 "total_chars": int(pdf["text"].str.len().sum()),
-                "n_distinct_texts": pdf["text"].nunique(),
+                "n_distinct_texts": len(set(pdf["text"])),
             }
         ]
     )

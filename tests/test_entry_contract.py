@@ -14,6 +14,9 @@ import pytest
 import __spark_entry__ as entry_mod
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+# oracle builders that embed a data path (conversation_stats) read this
+# env var to follow the harness's SF; the driver leaves it unset → sf0.01
+os.environ.setdefault("SPARK_GRAFT_TEST_SF_DIR", SF_DIR)
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
