@@ -78,11 +78,13 @@ def main() -> None:
             "dedup_exact",
             "dedup_minhash_candidates",
             "dedup_simhash_pairs",
+            "dedup_embedding_cosine",  # round-2: banded-LSH candidates
             "ann_cosine_topk",
             "text_quality_scores",
             "rel_pricing_summary",
             "rel_top_revenue_nations",
             "rel_asof_join",
+            "rel_sessionize",  # round-2: oracle dtype fixed
         ]
         qmap = entry_mod.queries()
         for name in secondary:

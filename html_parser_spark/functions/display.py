@@ -35,8 +35,16 @@ from pyspark.sql.types import (
 
 from .tokenizer import tokenize
 
+# structural parity with the reference Attribute (token.rs:1-7): prefix
+# and namespace exist but are dead fields — Attribute::new sets them to
+# "" and no tokenizer state ever writes them, so they are constant ""
 ATTR = StructType(
-    [StructField("name", StringType()), StructField("value", StringType())]
+    [
+        StructField("name", StringType()),
+        StructField("value", StringType()),
+        StructField("prefix", StringType()),
+        StructField("namespace", StringType()),
+    ]
 )
 
 TOKEN = StructType(
@@ -64,7 +72,16 @@ def _token_rows(text: str) -> list:
             out.append(("chars", None, t[1], None, None, None, None, None))
         elif kind == "start" or kind == "end":
             out.append(
-                (kind, t[1], None, t[3], [tuple(a) for a in t[2]], None, None, None)
+                (
+                    kind,
+                    t[1],
+                    None,
+                    t[3],
+                    [(a[0], a[1], "", "") for a in t[2]],
+                    None,
+                    None,
+                    None,
+                )
             )
         elif kind == "comment":
             out.append(("comment", None, t[1], None, None, None, None, None))

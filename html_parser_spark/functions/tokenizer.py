@@ -2430,6 +2430,17 @@ def tokenize(text: str, initial_state: int = DATA):
             elif c is not None and c in _ASCII_LOWER:
                 tag_name += c
                 temp_buf = (temp_buf or "") + c
+            elif c is None and state in (
+                RAWTEXT_END_TAG_NAME,
+                SCRIPT_END_TAG_NAME,
+            ):
+                # mod.rs rawtext_end_tag_name_state /
+                # script_data_end_tag_name_state: NO EOF arm in the
+                # reference (unlike the rcdata/script-escaped twins, which
+                # spec-compliantly re-emit + reconsume) — hangs forever.
+                # Found by probe-v2 binary differential (RAWTEXT "</title").
+                status = HANG
+                emit_eof()
             else:
                 buf = temp_buf if temp_buf is not None else ""
                 emit_chars("</" + buf, lt_idx, lt_idx + 2 + len(buf))
@@ -2555,8 +2566,12 @@ def tokenize(text: str, initial_state: int = DATA):
             elif c == "<":
                 lt_idx = cur_idx
                 if dbl:
+                    # reference deviation: the double_escaped_dash_dash
+                    # '<' arm's spec comment says emit '<' but the code
+                    # only switches (double_escaped_dash DOES emit) —
+                    # found by probe-v2 differential
+                    # ("<!--<script><!--<script>" from ScriptData)
                     state = SCRIPT_DOUBLE_ESCAPED_LTS
-                    emit_chars("<", cur_idx, cur_idx + 1)
                 else:
                     state = SCRIPT_ESCAPED_LTS
             elif c == ">":

@@ -1,0 +1,526 @@
+"""WHATWG-style tree construction over the engine's token stream.
+
+The reference stops at tokenization (its "tree builder" README box is
+unchecked — reference README.md:6), so this module is built from scratch
+against the public WHATWG HTML spec (§13.2.6 "Tree construction"),
+covering the machinery the north_star names explicitly:
+
+- **insertion modes** — initial / before_html / before_head / in_head /
+  after_head / in_body / after_body (the body-content subset; frameset
+  and template modes are out of scope for transcript corpora and
+  documented as such),
+- **stack of open elements** with the spec's special/formatting element
+  categories, implied-end-tag handling (p, li, dd/dt, option, …) and
+  "element in scope" checks,
+- **active formatting elements** with the Noah's Ark clause (at most 3
+  identical entries), markers, and the *reconstruction* algorithm
+  (§13.2.6.3), so ``<p><b>x<i>y</p><p>z`` re-opens ``<b><i>`` in the
+  second paragraph,
+- the **adoption agency algorithm** (§13.2.6.4 "any other end tag" /
+  mis-nested formatting) in its spec form, bounded by the spec's outer
+  (8) and inner (3) loop limits.
+
+Deliberate simplifications (documented, deterministic):
+- no foster parenting / table fixup (transcript HTML is body-like;
+  table elements nest as written),
+- no template contents stack, no frameset-ok flag,
+- script/style/RAWTEXT contents arrive as ORDINARY markup tokens
+  because the tokenizer-only reference never leaves the Data state (its
+  observed behavior — SURVEY.md §2.4); the builder therefore treats
+  them as normal containers and downstream extraction drops them.
+
+The builder consumes the tokenizer's tuple stream (functions/tokenizer
+.py) and produces a lightweight DOM of ``Element`` nodes whose children
+are ``Element`` or ``str`` (text).  Self-closing and void tags never
+push onto the stack, mirroring the tokenizer's own stack discipline
+(mod.rs:3756-3779).
+"""
+
+from __future__ import annotations
+
+from .tokenizer import tokenize
+
+# §13.2.6.4 "in body": void elements (also HTML's void set) — never pushed
+VOID = frozenset(
+    "area base basefont bgsound br col embed hr img input keygen link "
+    "meta param source track wbr".split()
+)
+
+# the spec's formatting elements (active-formatting-elements candidates)
+FORMATTING = frozenset("a b big code em font i nobr s small strike strong tt u".split())
+
+# "special" category subset relevant to body content (§13.2 special list)
+SPECIAL = frozenset(
+    (
+        "address applet area article aside base basefont bgsound blockquote "
+        "body br button caption center col colgroup dd details dir div dl dt "
+        "embed fieldset figcaption figure footer form frame frameset h1 h2 h3 "
+        "h4 h5 h6 head header hgroup hr html iframe img input keygen li link "
+        "listing main marquee menu meta nav noembed noframes noscript object "
+        "ol p param plaintext pre script section select source style summary "
+        "table tbody td template textarea tfoot th thead title tr track ul wbr"
+    ).split()
+)
+
+# start tags that implicitly close an open <p> (§13.2.6.4 in-body)
+P_CLOSERS = frozenset(
+    (
+        "address article aside blockquote center details dialog dir div dl "
+        "fieldset figcaption figure footer header hgroup main menu nav ol p "
+        "section summary ul h1 h2 h3 h4 h5 h6 pre listing form table hr "
+        "xmp li dd dt"
+    ).split()
+)
+
+HEADINGS = frozenset("h1 h2 h3 h4 h5 h6".split())
+
+# scope-barrier element sets (§13.2.4.2 "has an element in scope")
+_SCOPE_BARRIER = frozenset(
+    "applet caption html table td th marquee object template".split()
+)
+_BUTTON_SCOPE_EXTRA = frozenset(["button"])
+_LIST_SCOPE_EXTRA = frozenset(["ol", "ul"])
+
+MARKER = object()  # active-formatting-elements marker sentinel
+
+
+class Element:
+    __slots__ = ("tag", "attrs", "children", "parent")
+
+    def __init__(self, tag: str, attrs=()):
+        self.tag = tag
+        self.attrs = list(attrs)
+        self.children: list = []
+        self.parent: Element | None = None
+
+    def append(self, child):
+        if isinstance(child, Element):
+            child.parent = self
+        self.children.append(child)
+
+    def attr(self, name: str):
+        for k, v in self.attrs:
+            if k == name:
+                return v
+        return None
+
+    def __repr__(self):  # test/debug aid
+        return f"<{self.tag}>"
+
+
+def _serialize(node: Element, depth: int = 0, out: list | None = None) -> str:
+    """html5lib-tests style tree dump (| indented) for assertions."""
+    top = out is None
+    if out is None:
+        out = []
+    for ch in node.children:
+        pad = "| " + "  " * depth
+        if isinstance(ch, str):
+            out.append(f'{pad}"{ch}"')
+        else:
+            out.append(f"{pad}<{ch.tag}>")
+            for k, v in sorted(ch.attrs):
+                out.append(f'{pad}  {k}="{v}"')
+            _serialize(ch, depth + 1, out)
+    return "\n".join(out) if top else ""
+
+
+class TreeBuilder:
+    """§13.2.6 subset; see module docstring for scope."""
+
+    def __init__(self):
+        self.document = Element("#document")
+        self.open_elements: list[Element] = []
+        self.active_formatting: list = []  # Element | MARKER
+        self.mode = "initial"
+        self.head: Element | None = None
+
+    # ---------------------------------------------------------- stack ops
+
+    def current(self) -> Element:
+        return self.open_elements[-1]
+
+    def _insert_element(self, tag: str, attrs=()) -> Element:
+        el = Element(tag, attrs)
+        self.current().append(el)
+        self.open_elements.append(el)
+        return el
+
+    def _insert_text(self, data: str) -> None:
+        cur = self.current()
+        if cur.children and isinstance(cur.children[-1], str):
+            cur.children[-1] += data
+        else:
+            cur.children.append(data)
+
+    def _pop_until(self, tag: str) -> None:
+        while self.open_elements:
+            el = self.open_elements.pop()
+            if el.tag == tag:
+                return
+
+    def _in_scope(self, tag: str, extra_barriers=frozenset()) -> bool:
+        barriers = _SCOPE_BARRIER | extra_barriers
+        for el in reversed(self.open_elements):
+            if el.tag == tag:
+                return True
+            if el.tag in barriers:
+                return False
+        return False
+
+    def _generate_implied_end_tags(self, exclude: str | None = None) -> None:
+        implied = {"dd", "dt", "li", "optgroup", "option", "p", "rb", "rp", "rt", "rtc"}
+        while (
+            self.open_elements
+            and self.current().tag in implied
+            and self.current().tag != exclude
+        ):
+            self.open_elements.pop()
+
+    def _close_p(self) -> None:
+        """§13.2.6.4 'close a p element'."""
+        self._generate_implied_end_tags(exclude="p")
+        self._pop_until("p")
+
+    # ------------------------------------- active formatting (§13.2.3.3)
+
+    def _push_formatting(self, el: Element) -> None:
+        # Noah's Ark clause: at most 3 entries with same tag+attrs since
+        # the last marker
+        same = []
+        for entry in reversed(self.active_formatting):
+            if entry is MARKER:
+                break
+            if entry.tag == el.tag and sorted(entry.attrs) == sorted(el.attrs):
+                same.append(entry)
+        if len(same) >= 3:
+            self.active_formatting.remove(same[-1])
+        self.active_formatting.append(el)
+
+    def _reconstruct_formatting(self) -> None:
+        """§13.2.6.3 'reconstruct the active formatting elements'."""
+        afe = self.active_formatting
+        if not afe:
+            return
+        entry = afe[-1]
+        if entry is MARKER or entry in self.open_elements:
+            return
+        i = len(afe) - 1
+        # rewind to the last marker / open element
+        while i > 0:
+            prev = afe[i - 1]
+            if prev is MARKER or prev in self.open_elements:
+                break
+            i -= 1
+        # advance: recreate each entry and replace it in the list
+        for j in range(i, len(afe)):
+            old = afe[j]
+            new = self._insert_element(old.tag, list(old.attrs))
+            afe[j] = new
+
+    def _clear_formatting_to_marker(self) -> None:
+        while self.active_formatting:
+            entry = self.active_formatting.pop()
+            if entry is MARKER:
+                return
+
+    # --------------------------------------------- adoption agency (AAA)
+
+    def _adoption_agency(self, tag: str) -> None:
+        """§13.2.6.4 adoption agency algorithm for </tag>."""
+        for _ in range(8):  # outer loop limit
+            # 1. find the formatting element
+            fmt = None
+            for entry in reversed(self.active_formatting):
+                if entry is MARKER:
+                    break
+                if entry.tag == tag:
+                    fmt = entry
+                    break
+            if fmt is None:
+                self._any_other_end_tag(tag)
+                return
+            if fmt not in self.open_elements:
+                self.active_formatting.remove(fmt)
+                return
+            if not self._in_scope(tag):
+                return  # parse error; ignore
+            # 2. furthest block: lowest element below fmt in the "special"
+            # category
+            idx = self.open_elements.index(fmt)
+            furthest = None
+            for el in self.open_elements[idx + 1 :]:
+                if el.tag in SPECIAL:
+                    furthest = el
+                    break
+            if furthest is None:
+                # pop up to and including fmt; drop from the AFE list
+                del self.open_elements[idx:]
+                self.active_formatting.remove(fmt)
+                return
+            common_ancestor = self.open_elements[idx - 1]
+            bookmark = self.active_formatting.index(fmt)
+            node = last_node = furthest
+            node_idx = self.open_elements.index(furthest)
+            for _ in range(3):  # inner loop limit
+                node_idx -= 1
+                node = self.open_elements[node_idx]
+                if node is fmt:
+                    break
+                if node not in self.active_formatting:
+                    self.open_elements.remove(node)
+                    continue
+                # clone the node, replace in both lists
+                clone = Element(node.tag, list(node.attrs))
+                self.active_formatting[self.active_formatting.index(node)] = clone
+                self.open_elements[self.open_elements.index(node)] = clone
+                node = clone
+                if last_node is furthest:
+                    bookmark = self.active_formatting.index(clone) + 1
+                if last_node.parent is not None:
+                    last_node.parent.children.remove(last_node)
+                node.append(last_node)
+                last_node = node
+            if last_node.parent is not None:
+                last_node.parent.children.remove(last_node)
+            common_ancestor.append(last_node)
+            # new clone of fmt wraps furthest block's children
+            clone = Element(fmt.tag, list(fmt.attrs))
+            clone.children = furthest.children
+            for ch in clone.children:
+                if isinstance(ch, Element):
+                    ch.parent = clone
+            furthest.children = []
+            furthest.append(clone)
+            # swap fmt → clone in the AFE list at the bookmark
+            self.active_formatting.remove(fmt)
+            if bookmark > len(self.active_formatting):
+                bookmark = len(self.active_formatting)
+            self.active_formatting.insert(bookmark, clone)
+            # and in the open-elements stack, just below... per spec:
+            # remove fmt, insert clone immediately after furthest
+            self.open_elements.remove(fmt)
+            self.open_elements.insert(self.open_elements.index(furthest) + 1, clone)
+
+    def _any_other_end_tag(self, tag: str) -> None:
+        for i in range(len(self.open_elements) - 1, -1, -1):
+            el = self.open_elements[i]
+            if el.tag == tag:
+                self._generate_implied_end_tags(exclude=tag)
+                del self.open_elements[i:]
+                return
+            if el.tag in SPECIAL:
+                return  # parse error; ignore token
+
+    # ------------------------------------------------------ mode helpers
+
+    def _ensure_body(self) -> None:
+        """Fast-forward initial/before_html/before_head/in_head/after_head
+        for body-content tokens (the spec's implicit <html><head></head>
+        <body> synthesis)."""
+        if self.mode == "in_body":
+            return
+        if not any(el.tag == "html" for el in self.open_elements):
+            html = Element("html")
+            self.document.append(html)
+            self.open_elements.append(html)
+        if self.head is None:
+            self.head = Element("head")
+            self.open_elements[0].append(self.head)
+        if not any(el.tag == "body" for el in self.open_elements):
+            body = Element("body")
+            self.open_elements[0].append(body)
+            self.open_elements.append(body)
+        self.mode = "in_body"
+
+    HEAD_ONLY = frozenset(
+        "base basefont bgsound link meta title style script noscript template".split()
+    )
+
+    # ------------------------------------------------------------- drive
+
+    def process(self, tokens) -> Element:
+        for tok in tokens:
+            kind = tok[0]
+            if kind == "chars":
+                self._chars(tok[1])
+            elif kind == "start":
+                self._start(tok[1], tok[2], tok[3])
+            elif kind == "end":
+                self._end(tok[1])
+            elif kind == "comment":
+                pass  # comments carry no extraction signal; dropped
+            elif kind == "doctype":
+                pass  # quirks-mode selection is out of scope
+            elif kind == "eof":
+                break
+        return self.document
+
+    def _chars(self, data: str) -> None:
+        if self.mode != "in_body":
+            # whitespace before body structure is dropped (spec: ignored
+            # in initial/before_* modes); other chars force the body
+            if data.strip() == "":
+                if self.mode == "in_head_real":
+                    self._insert_text(data)
+                return
+            self._ensure_body()
+        self._reconstruct_formatting()
+        self._insert_text(data)
+
+    def _start(self, tag: str, attrs, self_closing: bool) -> None:
+        if tag == "html":
+            if not any(el.tag == "html" for el in self.open_elements):
+                html = Element("html", attrs)
+                self.document.append(html)
+                self.open_elements.append(html)
+                self.mode = "before_head"
+            return
+        if tag == "head":
+            if self.head is None:
+                self._start_head(attrs)
+            return
+        if tag == "body":
+            if not any(el.tag == "body" for el in self.open_elements):
+                self._ensure_body()
+                # merge attrs onto the synthesized body (spec behavior)
+                body = next(el for el in self.open_elements if el.tag == "body")
+                for k, v in attrs:
+                    if body.attr(k) is None:
+                        body.attrs.append((k, v))
+            return
+        if tag in self.HEAD_ONLY and self.mode in (
+            "initial",
+            "before_head",
+            "in_head_real",
+        ):
+            # head-level metadata before any body content
+            if self.head is None:
+                self._start_head(())
+            el = Element(tag, attrs)
+            self.head.append(el)
+            if tag not in VOID and not self_closing:
+                # title/style/script contents arrive as ordinary tokens;
+                # keep the element open inside head
+                self.open_elements.append(el)
+                self.mode = "in_head_real"
+            return
+
+        self._ensure_body()
+
+        if tag == "p" or tag in P_CLOSERS:
+            if self._in_scope("p", _BUTTON_SCOPE_EXTRA):
+                self._close_p()
+        if tag in HEADINGS and self.current().tag in HEADINGS:
+            self.open_elements.pop()  # spec: implied </hN>
+        if tag == "li" and self._in_scope("li", _LIST_SCOPE_EXTRA):
+            self._generate_implied_end_tags(exclude="li")
+            self._pop_until("li")
+        if tag in ("dd", "dt"):
+            for t in ("dd", "dt"):
+                if self._in_scope(t):
+                    self._generate_implied_end_tags(exclude=t)
+                    self._pop_until(t)
+
+        if tag == "a":
+            # spec: an <a> in the AFE list (since last marker) triggers
+            # the adoption agency for the implied </a>
+            for entry in reversed(self.active_formatting):
+                if entry is MARKER:
+                    break
+                if entry.tag == "a":
+                    self._adoption_agency("a")
+                    if entry in self.active_formatting:
+                        self.active_formatting.remove(entry)
+                    if entry in self.open_elements:
+                        self.open_elements.remove(entry)
+                    break
+
+        if tag in FORMATTING:
+            self._reconstruct_formatting()
+            el = self._insert_element(tag, attrs)
+            self._push_formatting(el)
+            return
+        if tag in ("applet", "marquee", "object", "td", "th", "caption"):
+            self._reconstruct_formatting()
+            self._insert_element(tag, attrs)
+            self.active_formatting.append(MARKER)
+            return
+        if tag in VOID or self_closing:
+            self._reconstruct_formatting()
+            el = Element(tag, attrs)
+            self.current().append(el)
+            return
+        self._reconstruct_formatting()
+        self._insert_element(tag, attrs)
+
+    def _start_head(self, attrs) -> None:
+        if not any(el.tag == "html" for el in self.open_elements):
+            html = Element("html")
+            self.document.append(html)
+            self.open_elements.append(html)
+        self.head = Element("head", attrs)
+        self.open_elements[0].append(self.head)
+        self.mode = "before_head"
+
+    def _end(self, tag: str) -> None:
+        if self.mode == "in_head_real" and self.open_elements:
+            if self.current().tag == tag:
+                self.open_elements.pop()
+                self.mode = "before_head"
+                return
+        if tag in ("html", "body"):
+            self.mode = "after_body" if self.mode == "in_body" else self.mode
+            return
+        if tag == "head":
+            self.mode = "after_head" if self.mode != "in_body" else self.mode
+            return
+        if self.mode != "in_body":
+            return
+        if tag == "p":
+            if not self._in_scope("p", _BUTTON_SCOPE_EXTRA):
+                # spec: synthesize an empty <p> then close it
+                self._insert_element("p")
+            self._close_p()
+            return
+        if tag in HEADINGS:
+            if any(self._in_scope(h) for h in HEADINGS):
+                self._generate_implied_end_tags()
+                while self.open_elements:
+                    el = self.open_elements.pop()
+                    if el.tag in HEADINGS:
+                        break
+            return
+        if tag == "li":
+            if self._in_scope("li", _LIST_SCOPE_EXTRA):
+                self._generate_implied_end_tags(exclude="li")
+                self._pop_until("li")
+            return
+        if tag in FORMATTING:
+            self._adoption_agency(tag)
+            return
+        if tag in ("applet", "marquee", "object", "td", "th", "caption"):
+            if self._in_scope(tag):
+                self._generate_implied_end_tags()
+                self._pop_until(tag)
+                self._clear_formatting_to_marker()
+            return
+        self._any_other_end_tag(tag)
+
+
+def build_tree(tokens) -> Element:
+    """Token stream (tokenizer tuples) → #document Element."""
+    return TreeBuilder().process(tokens)
+
+
+def parse_html(text: str):
+    """Tokenize + tree-construct.  Returns (document, parse_status,
+    err_count) — status/err from the tokenizer pass."""
+    tokens, status, err = tokenize(text)
+    doc = build_tree(tokens)
+    return doc, status, err
+
+
+def serialize_tree(doc: Element) -> str:
+    """html5lib-tests style dump (for tests and debugging)."""
+    return _serialize(doc)

@@ -72,3 +72,38 @@ def test_token_stream_matches_reference(ref, s):
 
     ok, detail = compare_one(ref, s)
     assert ok, detail
+
+
+# ---- content entry states (probe protocol v2) ----------------------------
+# The RCDATA/RAWTEXT/script-data/PLAINTEXT/CDATA families are unreachable
+# from Data in the tokenizer-only reference; probe v2 enters them directly
+# (build_probe.sh appends new_in_state to the COPIED crate), giving these
+# 27 states true binary differentials instead of code-reading tests.
+
+_entry_states = st.sampled_from(
+    ["RCDATA", "RAWTEXT", "ScriptData", "PLAINTEXT", "CDATASection"]
+)
+
+_content_atoms = st.sampled_from(
+    list("<>&;/-!abptix \t\n\x00é")
+    + [
+        "</title", "</style", "</script", "</xmp", "<!--", "-->", "--!>",
+        "<script", "script>", "]]>", "]]", "]", "&amp;", "&#65;", "&not",
+        "<!--<script>", "</script>-->", "</ti tle>", "/>", "</TITLE>",
+        "<sCrIpT>", "</script x=y>", "</script/>", "</script >",
+    ]
+)
+contentish = st.lists(_content_atoms, min_size=0, max_size=25).map("".join)
+
+
+@given(_entry_states, contentish)
+@settings(
+    max_examples=400,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_content_states_match_reference(ref, state, s):
+    from diff_runner import compare_one  # noqa: E402
+
+    ok, detail = compare_one(ref, s, state)
+    assert ok, (state, detail)

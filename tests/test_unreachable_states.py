@@ -2,9 +2,11 @@
 
 These 27 states are unreachable from Data in the reference (no
 tree-builder feedback — SURVEY.md §2.4; ✓probe: ``<script>1 < 2</script>``
-tokenizes as ordinary markup), so there is no reference binary to
-differential-test against.  Expectations below derive from the WHATWG
-spec arms the reference transcribed, including its deviation: the
+tokenizes as ordinary markup).  Since probe protocol v2 the content entry
+states (RCDATA/RAWTEXT/ScriptData/PLAINTEXT/CDATASection) ARE binary
+differential-tested (test_differential_hypothesis.py::
+test_content_states_match_reference); the expectations below pin the
+WHATWG spec arms the reference transcribed, including its deviation: the
 "appropriate end tag" check compares against ``open_tags[-1]``, which is
 empty when entering via ``initial_state`` — so end tags in these
 families always take the anything-else (re-emit as text) path here.
@@ -81,7 +83,15 @@ def test_script_data_double_escape_roundtrip():
 def test_eof_mid_end_tag_reemits_and_terminates(st, tail):
     toks, status, _ = tokenize("x" + tail, st)
     assert toks[-1] == ("eof",)
-    assert chars_of(toks) == "x" + tail
+    if tail == "</ti" and st in (RAWTEXT, SCRIPT_DATA):
+        # probe-v2 differential discovery: the reference's rawtext/script
+        # end-tag-name arms have NO EOF branch (unlike the rcdata and
+        # script-escaped twins) and hang forever — quirks #4 and #5
+        assert status == "hang_in_reference"
+        assert chars_of(toks) == "x"
+    else:
+        assert status == "ok"
+        assert chars_of(toks) == "x" + tail
 
 
 def test_script_escaped_eof_terminates():

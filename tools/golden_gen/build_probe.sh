@@ -21,6 +21,41 @@ chmod -R u+w "$BUILD_DIR/refcrate"
 # export Token so the probe binary can pattern-match on it
 echo 'pub use tokenizer::Token;' >> "$BUILD_DIR/refcrate/src/lib.rs"
 
+# probe-only constructor appended to the COPIED mod.rs (never the repo):
+# entry into the content states a WHATWG tree builder would select, so the
+# RCDATA/RAWTEXT/script-data/PLAINTEXT families (unreachable from Data in
+# the tokenizer-only reference) get true binary differentials.
+cat >> "$BUILD_DIR/refcrate/src/tokenizer/mod.rs" <<'EOF'
+
+// ---- appended by build_probe.sh (probe protocol v2) ----
+impl<'a> Tokenizer<'a> {
+    pub fn new_in_state(html: &'a str, state_name: &str) -> Self {
+        let state = match state_name {
+            "RCDATA" => State::RCDATA,
+            "RAWTEXT" => State::RAWTEXT,
+            "ScriptData" => State::ScriptData,
+            "PLAINTEXT" => State::PLAINTEXT,
+            "CDATASection" => State::CDATASection,
+            _ => State::Data,
+        };
+        let mut scanner = Self {
+            html: html.chars().peekable(),
+            tokens: VecDeque::with_capacity(html.len()),
+            current_state: state,
+            return_state: State::Data,
+            current_token: None,
+            current_character: None,
+            temporary_buffer: None,
+            character_reference_code: 0,
+            open_tags: Vec::new(),
+            reconsume: false,
+        };
+        scanner.scan();
+        scanner
+    }
+}
+EOF
+
 cat > "$BUILD_DIR/refcrate/Cargo.toml" <<'EOF'
 [package]
 name = "html-parser"
@@ -61,4 +96,5 @@ cp "$HERE/probe_main.rs" "$BUILD_DIR/refcrate/src/bin/probe.rs"
 
 cd "$BUILD_DIR/refcrate"
 cargo build --release --offline 2>&1 | tail -3
+touch "$BUILD_DIR/protocol_v2"   # diff_runner rebuilds stale probes
 echo "probe: $BUILD_DIR/refcrate/target/release/probe"

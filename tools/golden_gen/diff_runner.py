@@ -21,8 +21,12 @@ PROBE = os.environ.get("REF_PROBE", "/tmp/refprobe/refcrate/target/release/probe
 BUILD_SH = os.path.join(os.path.dirname(__file__), "build_probe.sh")
 
 
+# probe protocol v2 adds state-prefixed requests; rebuild stale binaries
 def ensure_probe() -> str:
-    if not os.path.exists(PROBE):
+    marker = os.path.join(
+        os.path.dirname(PROBE), "..", "..", "..", "protocol_v2"
+    )
+    if not (os.path.exists(PROBE) and os.path.exists(os.path.normpath(marker))):
         subprocess.run(["bash", BUILD_SH], check=True, capture_output=True)
     return PROBE
 
@@ -48,13 +52,18 @@ class RefProbe:
             self.proc.wait()
             self.proc = None
 
-    def tokenize(self, text: str):
-        """Return (tokens|None, status) — status in {'ok','hang','panic'}."""
+    def tokenize(self, text: str, state: str | None = None):
+        """Return (tokens|None, status) — status in {'ok','hang','panic'}.
+
+        ``state`` selects a content entry state (protocol v2):
+        RCDATA / RAWTEXT / ScriptData / PLAINTEXT / CDATASection."""
         if self.proc is None or self.proc.poll() is not None:
             self._kill()
             self._start()
         p = self.proc
         line = base64.b64encode(text.encode("utf-8")) + b"\n"
+        if state is not None:
+            line = state.encode("ascii") + b" " + line
         try:
             p.stdin.write(line)
             p.stdin.flush()
@@ -105,13 +114,29 @@ def py_tokens_to_golden(tokens) -> list:
     return out
 
 
-def compare_one(probe, text):
-    """Compare one input on an existing probe; returns (ok, detail)."""
+def _py_state(name: str | None) -> int:
+    from html_parser_spark.functions import tokenizer as tk
+
+    return {
+        None: tk.DATA,
+        "RCDATA": tk.RCDATA,
+        "RAWTEXT": tk.RAWTEXT,
+        "ScriptData": tk.SCRIPT_DATA,
+        "PLAINTEXT": tk.PLAINTEXT,
+        "CDATASection": tk.CDATA_SECTION,
+    }[name]
+
+
+def compare_one(probe, text, state: str | None = None):
+    """Compare one input on an existing probe; returns (ok, detail).
+
+    ``state``: optional content entry state name (see RefProbe.tokenize);
+    both engines enter the same state."""
     sys.path.insert(0, "/root/repo")
     from html_parser_spark.functions.tokenizer import tokenize
 
-    ref_toks, ref_status = probe.tokenize(text)
-    py_toks, py_status, _err = tokenize(text)
+    ref_toks, ref_status = probe.tokenize(text, state)
+    py_toks, py_status, _err = tokenize(text, _py_state(state))
     py_golden = py_tokens_to_golden(py_toks)
     if ref_status == "hang":
         ok = py_status == "hang_in_reference"
@@ -130,7 +155,10 @@ def compare_corpus(texts, timeout: float = 5.0, verbose: bool = False):
     n_match = 0
     try:
         for idx, text in enumerate(texts):
-            ok, detail = compare_one(probe, text)
+            state = None
+            if isinstance(text, tuple):  # (state_name, text) items
+                state, text = text
+            ok, detail = compare_one(probe, text, state)
             if ok:
                 n_match += 1
             else:

@@ -1,9 +1,14 @@
 // Golden-generation probe for the reference tokenizer.
 //
-// Protocol: one base64(UTF-8 input) per stdin line -> one JSON token array
-// per stdout line, Char runs coalesced into ["chars", data] entries (the
-// golden_tokens format from FIXTURES.md §2).  The driving Python harness
-// enforces a per-input timeout because three reference states hang at EOF.
+// Protocol (v2): one request per stdin line -> one JSON token array per
+// stdout line, Char runs coalesced into ["chars", data] entries (the
+// golden_tokens format from FIXTURES.md §2).  A request is either
+//   base64(UTF-8 input)                      — tokenize from Data, or
+//   STATE_NAME " " base64(UTF-8 input)       — tokenize from a content
+// entry state (RCDATA / RAWTEXT / ScriptData / PLAINTEXT / CDATASection),
+// exercising the state families unreachable from Data.  The driving
+// Python harness enforces a per-input timeout because three reference
+// states hang at EOF.
 //
 // This file is OUR code (committed); the reference crate itself is copied to
 // a scratch dir at build time by build_probe.sh and never enters the repo.
@@ -70,9 +75,16 @@ fn main() {
             Ok(l) => l,
             Err(_) => break,
         };
-        let bytes = b64decode(&line);
+        let (state, b64) = match line.split_once(' ') {
+            Some((s, rest)) => (Some(s.to_string()), rest.to_string()),
+            None => (None, line),
+        };
+        let bytes = b64decode(&b64);
         let input = String::from_utf8_lossy(&bytes).into_owned();
-        let mut tok = Tokenizer::new(&input);
+        let mut tok = match &state {
+            Some(s) => Tokenizer::new_in_state(&input, s),
+            None => Tokenizer::new(&input),
+        };
         let mut out = String::from("[");
         let mut first = true;
         let mut chars_run = String::new();
