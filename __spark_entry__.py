@@ -28,7 +28,11 @@ from html_parser_spark.operators import (
     udx,
 )
 from html_parser_spark.functions.display import display_expr, tokenize_udf
-from html_parser_spark.operators.pipeline import extraction_metrics, run_extraction
+from html_parser_spark.operators.pipeline import (
+    extraction_metrics,
+    run_dom_extraction,
+    run_extraction,
+)
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -57,6 +61,12 @@ def _extract_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[c for c in ext.columns if c != "spans"],
         F.to_json("spans").alias("spans_json"),
     )
+
+
+def _dom_extract_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOM-heuristic extraction (tree builder + text-density scoring —
+    functions/domextract.py); rows-only like the flagship."""
+    return run_dom_extraction(_transcripts(spark, _sf_of(sf_dir)))
 
 
 def _extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -137,6 +147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # flagship extraction (tokenizer not SQL-expressible → rows-only)
         "extract_turns": _extract_turns,
+        "extract_dom_turns": _dom_extract_turns,
         "extract_metrics": _extract_metrics,
         "tokens_kind_counts": _token_kind_counts,
         "display_roundtrip": _display_roundtrip,

@@ -1,0 +1,145 @@
+"""DOM-heuristic main-content extraction: tree → scored blocks → text.
+
+The second-generation extraction policy the north_star describes
+(text-density, link-density, tag-class scoring over a real DOM), built
+on :mod:`treebuilder`.  The token-stream policy in :mod:`extract`
+remains the flagship (its goldens and driver rows are pinned); this
+module adds the DOM-based scorer as a parallel, independently tested
+operator in the Boilerpipe / jusText family (PAPERS.md):
+
+1. The DOM is segmented into **blocks**: maximal runs of inline content
+   under each block-level element (nested block elements start new
+   blocks, as in §3 of the Boilerpipe paper's atomic text blocks).
+2. Each block is scored:
+   - ``text_density``  = non-ws chars / (1 + inline descendant tags) —
+     chars-per-tag, the Boilerpipe-style density signal that separates
+     prose (few tags, much text) from chrome (many tags, scraps),
+   - ``link_density``  = chars under <a> / block chars       (jusText),
+   - ``boiler``        = any ancestor-or-self whose class/id matches the
+     boilerplate lexicon, or that is a dropped container
+     (script/style/nav/aside/footer/…)                 (tag/class prior).
+3. A block is kept iff it has text, is not boiler, ``link_density <
+   max_link_density`` and ``text_density >= min_text_density``.
+4. ``main_text`` = kept block texts joined by newline, document order.
+
+Deterministic, whitespace-normalizing (runs collapse to one space, as
+DOM text rendering would).
+"""
+
+from __future__ import annotations
+
+import re
+
+from .extract import BLOCK_TAGS, DROP_TAGS, _BOILER_CLASS
+from .treebuilder import Element, parse_html
+
+_WS_RUN = re.compile(r"\s+")
+
+DEFAULT_MIN_TEXT_DENSITY = 8.0  # chars per (1+tag); prose p ≈ 40-200
+DEFAULT_MAX_LINK_DENSITY = 0.5
+
+
+class _Block:
+    __slots__ = ("parts", "link_chars", "tags", "boiler", "drop")
+
+    def __init__(self, boiler: bool, drop: bool):
+        self.parts: list[str] = []
+        self.link_chars = 0
+        self.tags = 0
+        self.boiler = boiler
+        self.drop = drop
+
+    def text(self) -> str:
+        return _WS_RUN.sub(" ", "".join(self.parts)).strip()
+
+
+def _is_boiler_el(el: Element) -> bool:
+    for name, value in el.attrs:
+        if name in ("class", "id") and value and _BOILER_CLASS.search(value):
+            return True
+    return False
+
+
+def _segment(el: Element, boiler: bool, drop: bool, blocks: list, cur: _Block):
+    """Depth-first block segmentation; returns the open block."""
+    for child in el.children:
+        if isinstance(child, str):
+            cur.parts.append(child)
+            continue
+        c_boiler = boiler or _is_boiler_el(child)
+        c_drop = drop or child.tag in DROP_TAGS
+        if child.tag in BLOCK_TAGS or child.tag in DROP_TAGS:
+            if cur.parts:
+                blocks.append(cur)
+            inner = _Block(c_boiler, c_drop)
+            inner = _segment(child, c_boiler, c_drop, blocks, inner)
+            if inner.parts:
+                blocks.append(inner)
+            cur = _Block(boiler, drop)
+        else:
+            cur.tags += 1
+            if child.tag == "a":
+                before_obj = cur
+                before = sum(len(p) for p in cur.parts)
+                cur = _segment(child, c_boiler, c_drop, blocks, cur)
+                if cur is before_obj:
+                    cur.link_chars += sum(len(p) for p in cur.parts) - before
+                else:  # a block inside <a> flushed the run; count the tail
+                    cur.link_chars += sum(len(p) for p in cur.parts)
+            else:
+                cur = _segment(child, c_boiler, c_drop, blocks, cur)
+    return cur
+
+
+def score_blocks(doc: Element) -> list[dict]:
+    """Flatten the DOM into scored text blocks (document order)."""
+    blocks: list[_Block] = []
+    root = _Block(False, False)
+    root = _segment(doc, False, False, blocks, root)
+    if root.parts:
+        blocks.append(root)
+    out = []
+    for b in blocks:
+        text = b.text()
+        if not text:
+            continue
+        n = len(text)
+        out.append(
+            {
+                "text": text,
+                "n_chars": n,
+                "n_tags": b.tags,
+                "text_density": n / (1.0 + b.tags),
+                "link_density": min(1.0, b.link_chars / n),
+                "boiler": b.boiler or b.drop,
+            }
+        )
+    return out
+
+
+def dom_extract(
+    text: str,
+    *,
+    min_text_density: float = DEFAULT_MIN_TEXT_DENSITY,
+    max_link_density: float = DEFAULT_MAX_LINK_DENSITY,
+) -> dict:
+    """Parse + tree-build + score.  Returns main_text, block counts and
+    the tokenizer pass's status/err (same contract keys as
+    :func:`extract.extract` minus spans — DOM blocks have no single
+    source range once the tree is normalized)."""
+    doc, status, err = parse_html(text)
+    blocks = score_blocks(doc)
+    kept = [
+        b
+        for b in blocks
+        if not b["boiler"]
+        and b["link_density"] < max_link_density
+        and b["text_density"] >= min_text_density
+    ]
+    return {
+        "main_text": "\n".join(b["text"] for b in kept),
+        "err_count": err,
+        "parse_status": status,
+        "n_blocks": len(blocks),
+        "n_kept_blocks": len(kept),
+    }

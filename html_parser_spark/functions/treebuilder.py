@@ -182,6 +182,17 @@ class TreeBuilder:
         self._generate_implied_end_tags(exclude="p")
         self._pop_until("p")
 
+    def _clear_to_table_context(self, ctx: tuple) -> None:
+        """Spec 'clear the stack back to a table (row/body) context':
+        pop until the current node is one of ``ctx``.  No-op when no
+        table is open (stray cell markup stays where it is — this
+        builder has no fragment-table fixup)."""
+        if not any(el.tag == "table" for el in self.open_elements):
+            return
+        stop = set(ctx) | {"body", "html"}
+        while self.open_elements and self.current().tag not in stop:
+            self.open_elements.pop()
+
     # ------------------------------------- active formatting (§13.2.3.3)
 
     def _push_formatting(self, el: Element) -> None:
@@ -226,51 +237,81 @@ class TreeBuilder:
 
     # --------------------------------------------- adoption agency (AAA)
 
-    def _adoption_agency(self, tag: str) -> None:
-        """§13.2.6.4 adoption agency algorithm for </tag>."""
-        for _ in range(8):  # outer loop limit
-            # 1. find the formatting element
+    def _element_in_scope(self, el: Element) -> bool:
+        for e in reversed(self.open_elements):
+            if e is el:
+                return True
+            if e.tag in _SCOPE_BARRIER:
+                return False
+        return False
+
+    def _adoption_agency(self, subject: str) -> None:
+        """§13.2.6.4 adoption agency algorithm for </subject>.
+
+        Faithful step mapping: the OUTER loop iterates up to 8 times and
+        CONTINUES after the clone dance (this is what makes text after
+        ``<b>1<p>2</b>`` land in the <p>, not the clone — the second
+        iteration finds no furthest block and pops the clone); the inner
+        loop's counter only gates AFE eviction past 3 passes."""
+        # step 1: current node matches and is not a formatting entry
+        if (
+            self.open_elements
+            and self.current().tag == subject
+            and self.current() not in self.active_formatting
+        ):
+            self.open_elements.pop()
+            return
+        for _outer in range(8):
+            # step 5: locate formattingElement in the AFE tail
             fmt = None
             for entry in reversed(self.active_formatting):
                 if entry is MARKER:
                     break
-                if entry.tag == tag:
+                if entry.tag == subject:
                     fmt = entry
                     break
             if fmt is None:
-                self._any_other_end_tag(tag)
+                self._any_other_end_tag(subject)
                 return
-            if fmt not in self.open_elements:
+            if fmt not in self.open_elements:  # step 6
                 self.active_formatting.remove(fmt)
                 return
-            if not self._in_scope(tag):
-                return  # parse error; ignore
-            # 2. furthest block: lowest element below fmt in the "special"
-            # category
+            if not self._element_in_scope(fmt):  # step 7
+                return  # parse error; ignore token
+            # step 9: furthest block — first special element below fmt
             idx = self.open_elements.index(fmt)
             furthest = None
             for el in self.open_elements[idx + 1 :]:
                 if el.tag in SPECIAL:
                     furthest = el
                     break
-            if furthest is None:
-                # pop up to and including fmt; drop from the AFE list
+            if furthest is None:  # step 10
                 del self.open_elements[idx:]
                 self.active_formatting.remove(fmt)
                 return
-            common_ancestor = self.open_elements[idx - 1]
-            bookmark = self.active_formatting.index(fmt)
+            common_ancestor = self.open_elements[idx - 1]  # step 11
+            bookmark = self.active_formatting.index(fmt)  # step 12
+            # steps 13-14: walk up from furthestBlock toward fmt
             node = last_node = furthest
-            node_idx = self.open_elements.index(furthest)
-            for _ in range(3):  # inner loop limit
-                node_idx -= 1
-                node = self.open_elements[node_idx]
+            node_above = None  # "position before removal" bookkeeping
+            inner = 0
+            while True:
+                inner += 1
+                if node in self.open_elements:
+                    node = self.open_elements[self.open_elements.index(node) - 1]
+                else:
+                    node = node_above
                 if node is fmt:
                     break
+                if inner > 3 and node in self.active_formatting:
+                    self.active_formatting.remove(node)
                 if node not in self.active_formatting:
+                    node_above = self.open_elements[
+                        self.open_elements.index(node) - 1
+                    ]
                     self.open_elements.remove(node)
                     continue
-                # clone the node, replace in both lists
+                # clone node; replace in both lists
                 clone = Element(node.tag, list(node.attrs))
                 self.active_formatting[self.active_formatting.index(node)] = clone
                 self.open_elements[self.open_elements.index(node)] = clone
@@ -281,10 +322,11 @@ class TreeBuilder:
                     last_node.parent.children.remove(last_node)
                 node.append(last_node)
                 last_node = node
+            # step 15: lastNode → commonAncestor (no foster parenting)
             if last_node.parent is not None:
                 last_node.parent.children.remove(last_node)
             common_ancestor.append(last_node)
-            # new clone of fmt wraps furthest block's children
+            # steps 16-18: clone of fmt wraps furthest block's children
             clone = Element(fmt.tag, list(fmt.attrs))
             clone.children = furthest.children
             for ch in clone.children:
@@ -292,15 +334,15 @@ class TreeBuilder:
                     ch.parent = clone
             furthest.children = []
             furthest.append(clone)
-            # swap fmt → clone in the AFE list at the bookmark
+            # step 19: AFE swap at the bookmark
             self.active_formatting.remove(fmt)
             if bookmark > len(self.active_formatting):
                 bookmark = len(self.active_formatting)
             self.active_formatting.insert(bookmark, clone)
-            # and in the open-elements stack, just below... per spec:
-            # remove fmt, insert clone immediately after furthest
+            # step 20: stack swap, clone immediately below furthest block
             self.open_elements.remove(fmt)
             self.open_elements.insert(self.open_elements.index(furthest) + 1, clone)
+            # outer loop CONTINUES (no return) — step 3
 
     def _any_other_end_tag(self, tag: str) -> None:
         for i in range(len(self.open_elements) - 1, -1, -1):
@@ -357,12 +399,16 @@ class TreeBuilder:
         return self.document
 
     def _chars(self, data: str) -> None:
+        if self.mode == "in_head_real":
+            # inside an open head element (title/style/…): text belongs
+            # to it (the tokenizer delivers RAWTEXT-ish content as
+            # ordinary tokens — reference topology)
+            self._insert_text(data)
+            return
         if self.mode != "in_body":
             # whitespace before body structure is dropped (spec: ignored
             # in initial/before_* modes); other chars force the body
             if data.strip() == "":
-                if self.mode == "in_head_real":
-                    self._insert_text(data)
                 return
             self._ensure_body()
         self._reconstruct_formatting()
@@ -441,16 +487,45 @@ class TreeBuilder:
             el = self._insert_element(tag, attrs)
             self._push_formatting(el)
             return
-        if tag in ("applet", "marquee", "object", "td", "th", "caption"):
+        if tag in ("td", "th"):
+            # spec "in row": clear the stack back to table row context,
+            # then insert + AFE marker (no reconstruction).  The clearing
+            # also recovers when the tokenizer's stack filter swallowed a
+            # </td> left open by a dangling inline element.
+            self._clear_to_table_context(("tr", "table"))
+            self._insert_element(tag, attrs)
+            self.active_formatting.append(MARKER)
+            return
+        if tag == "tr":
+            self._clear_to_table_context(("tbody", "thead", "tfoot", "table"))
+            self._insert_element(tag, attrs)
+            return
+        if tag in ("tbody", "thead", "tfoot", "caption", "colgroup"):
+            self._clear_to_table_context(("table",))
+            self._insert_element(tag, attrs)
+            if tag == "caption":
+                self.active_formatting.append(MARKER)
+            return
+        if tag in ("applet", "marquee", "object"):
             self._reconstruct_formatting()
             self._insert_element(tag, attrs)
             self.active_formatting.append(MARKER)
             return
         if tag in VOID or self_closing:
-            self._reconstruct_formatting()
+            # spec: br/img/embed/… reconstruct; hr (in P_CLOSERS) closed
+            # the p above and per spec does not reconstruct
+            if tag != "hr":
+                self._reconstruct_formatting()
             el = Element(tag, attrs)
             self.current().append(el)
             return
+        if tag in P_CLOSERS or tag in HEADINGS or tag == "table":
+            # block-level group: spec inserts WITHOUT reconstructing the
+            # active formatting elements (reconstruction happens later,
+            # inside the new block, when character/inline tokens arrive)
+            self._insert_element(tag, attrs)
+            return
+        # "any other start tag": reconstruct, then insert
         self._reconstruct_formatting()
         self._insert_element(tag, attrs)
 

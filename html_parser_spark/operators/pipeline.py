@@ -183,6 +183,75 @@ def run_extraction(
     )
 
 
+DOM_EXTRACT_SCHEMA = StructType(
+    [
+        StructField("main_text", StringType()),
+        StructField("err_count", IntegerType()),
+        StructField("parse_status", StringType()),
+        StructField("n_blocks", IntegerType()),
+        StructField("n_kept_blocks", IntegerType()),
+    ]
+)
+
+_DOM_COLS = [f.name for f in DOM_EXTRACT_SCHEMA.fields]
+
+
+@pandas_udf(DOM_EXTRACT_SCHEMA)
+def dom_extract_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    """SCALAR_ITER pandas UDF over the DOM-heuristic extraction
+    (functions/domextract.py: tree builder + text-density scoring)."""
+    from ..functions.domextract import dom_extract
+
+    for texts in batches:
+        rows = []
+        for t in texts:
+            if t is None:
+                rows.append(("", 0, "null_input", 0, 0))
+                continue
+            r = dom_extract(t)
+            rows.append(
+                (
+                    r["main_text"],
+                    r["err_count"],
+                    r["parse_status"],
+                    r["n_blocks"],
+                    r["n_kept_blocks"],
+                )
+            )
+        yield pd.DataFrame(rows, columns=_DOM_COLS)
+
+
+def run_dom_extraction(
+    df: DataFrame,
+    *,
+    num_partitions: int | None = None,
+    salt_k: int = 8,
+    passthrough: tuple = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """transcripts DataFrame → DOM-extracted DataFrame.
+
+    Same partitioning discipline as :func:`run_extraction` (salted
+    repartition with an EXPLICIT partition count, sortWithinPartitions
+    for stable turn order, one Arrow UDF stage); the per-turn compute is
+    the tree-building scorer instead of the token-stream policy."""
+    cols = list(dict.fromkeys([*passthrough, "text"]))
+    pruned = df.select(*cols)
+    if num_partitions is None:
+        sc = pruned.sparkSession.sparkContext
+        num_partitions = max(
+            sc.defaultParallelism * 4,
+            int(pruned.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        )
+    salt = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(salt_k))
+    parted = pruned.repartition(num_partitions, F.col("conv_id"), salt)
+    ordered = parted.sortWithinPartitions("conv_id", "turn_idx")
+    ext = ordered.withColumn("ext", dom_extract_udf(F.col("text")))
+    return ext.select(
+        *[c for c in cols if c != "text"],
+        *[F.col(f"ext.{name}").alias(name) for name in _DOM_COLS],
+    )
+
+
 def extraction_metrics(extracted: DataFrame) -> DataFrame:
     """Per-status metrics rollup (north_star: turns processed, parse
     errors, bytes of main text) — pure built-in aggregates, map-side

@@ -1,0 +1,270 @@
+"""Tree construction (§13.2.6 subset) — html5lib-tests style assertions.
+
+Expected dumps are hand-derived from the WHATWG spec algorithms,
+including the spec's own worked examples: §13.2.10.1 (misnested
+``<b><i></b></i>``) and §13.2.10.2 (misnested ``<b><p></b></p>``, the
+adoption-agency case whose outer-loop continuation puts the trailing
+text in the <p>, not in the clone).
+"""
+
+from html_parser_spark.functions.treebuilder import (
+    build_tree,
+    parse_html,
+    serialize_tree,
+)
+
+
+def raw_tree(tokens) -> str:
+    """Drive the builder with a RAW token stream (bypassing the
+    tokenizer's reference-exact stack filter, which drops misnested end
+    tags before the tree stage — mod.rs:3756-3779).  This is how the
+    adoption-agency machinery is reachable: from other token sources or
+    future unfiltered modes."""
+    return serialize_tree(build_tree(tokens))
+
+
+def tree(text: str) -> str:
+    doc, status, _err = parse_html(text)
+    assert status == "ok"
+    return serialize_tree(doc)
+
+
+def test_implied_document_structure():
+    assert tree("Hello") == "\n".join(
+        ["| <html>", "|   <head>", "|   <body>", '|     "Hello"']
+    )
+
+
+def test_p_auto_close():
+    assert tree("<p>a<p>b") == "\n".join(
+        [
+            "| <html>",
+            "|   <head>",
+            "|   <body>",
+            "|     <p>",
+            '|       "a"',
+            "|     <p>",
+            '|       "b"',
+        ]
+    )
+
+
+def test_active_formatting_reconstruction_across_blocks():
+    # <b><i> left open at </p> are reconstructed inside the next <p>
+    assert tree("<p><b>x<i>y</p><p>z") == "\n".join(
+        [
+            "| <html>",
+            "|   <head>",
+            "|   <body>",
+            "|     <p>",
+            "|       <b>",
+            '|         "x"',
+            "|         <i>",
+            '|           "y"',
+            "|     <p>",
+            "|       <b>",
+            "|         <i>",
+            '|           "z"',
+        ]
+    )
+
+
+def test_adoption_agency_spec_example_b_p():
+    # spec §13.2.10.2: <b>1<p>2</b>3</p> → "3" is NOT bold.
+    # Raw stream: the reference tokenizer's stack filter would drop the
+    # misnested </b> (top of its stack is p), so the spec example is fed
+    # as tokens.
+    toks = [
+        ("start", "b", [], False),
+        ("chars", "1"),
+        ("start", "p", [], False),
+        ("chars", "2"),
+        ("end", "b", [], False),
+        ("chars", "3"),
+        ("end", "p", [], False),
+        ("eof",),
+    ]
+    assert raw_tree(toks) == "\n".join(
+        [
+            "| <html>",
+            "|   <head>",
+            "|   <body>",
+            "|     <b>",
+            '|       "1"',
+            "|     <p>",
+            "|       <b>",
+            '|         "2"',
+            '|       "3"',
+        ]
+    )
+
+
+def test_adoption_agency_spec_example_b_i():
+    # spec §13.2.10.1: <p>1<b>2<i>3</b>4</i>5 →
+    # <p>1<b>2<i>3</i></b><i>4</i>5</p>  (raw stream, as above)
+    toks = [
+        ("start", "p", [], False),
+        ("chars", "1"),
+        ("start", "b", [], False),
+        ("chars", "2"),
+        ("start", "i", [], False),
+        ("chars", "3"),
+        ("end", "b", [], False),
+        ("chars", "4"),
+        ("end", "i", [], False),
+        ("chars", "5"),
+        ("eof",),
+    ]
+    assert raw_tree(toks) == "\n".join(
+        [
+            "| <html>",
+            "|   <head>",
+            "|   <body>",
+            "|     <p>",
+            '|       "1"',
+            "|       <b>",
+            '|         "2"',
+            "|         <i>",
+            '|           "3"',
+            "|       <i>",
+            '|         "4"',
+            '|       "5"',
+        ]
+    )
+
+
+def test_noahs_ark_caps_reconstruction_depth():
+    doc, _, _ = parse_html("<p><b><b><b><b>x</p><p>y</p>")
+    body = doc.children[0].children[1]
+    p2 = body.children[1]
+    # AFE kept only 3 identical <b> entries → 3 nested clones, then text
+    depth = 0
+    node = p2
+    while node.children and not isinstance(node.children[0], str):
+        node = node.children[0]
+        assert node.tag == "b"
+        depth += 1
+    assert depth == 3
+    assert node.children == ["y"]
+
+
+def test_a_implicitly_closes_a():
+    assert tree("<a>1<a>2</a>") == "\n".join(
+        [
+            "| <html>",
+            "|   <head>",
+            "|   <body>",
+            "|     <a>",
+            '|       "1"',
+            "|     <a>",
+            '|       "2"',
+        ]
+    )
+
+
+def test_heading_implicitly_closes_heading():
+    assert tree("<h1>a<h2>b") == "\n".join(
+        [
+            "| <html>",
+            "|   <head>",
+            "|   <body>",
+            "|     <h1>",
+            '|       "a"',
+            "|     <h2>",
+            '|       "b"',
+        ]
+    )
+
+
+def test_li_implicitly_closes_li():
+    assert tree("<ul><li>a<li>b</ul>") == "\n".join(
+        [
+            "| <html>",
+            "|   <head>",
+            "|   <body>",
+            "|     <ul>",
+            "|       <li>",
+            '|         "a"',
+            "|       <li>",
+            '|         "b"',
+        ]
+    )
+
+
+def test_head_title_and_body():
+    assert tree("<head><title>T</title></head><body>x") == "\n".join(
+        [
+            "| <html>",
+            "|   <head>",
+            "|     <title>",
+            '|       "T"',
+            "|   <body>",
+            '|     "x"',
+        ]
+    )
+
+
+def test_td_marker_stops_formatting_leak():
+    doc, _, _ = parse_html(
+        "<table><tr><td><b>x</td><td>y</td></tr></table>"
+    )
+    body = doc.children[0].children[1]
+    table = body.children[0]
+    tr = table.children[0]
+    td1, td2 = tr.children
+    assert [c.tag for c in td1.children] == ["b"]
+    assert td2.children == ["y"]  # <b> did NOT reconstruct across the td
+
+
+def test_stray_end_p_filtered_by_tokenizer():
+    # the reference tokenizer's stack filter drops the unmatched </p>
+    # before tree construction — text runs merge
+    assert tree("x</p>y") == "\n".join(
+        ["| <html>", "|   <head>", "|   <body>", '|     "xy"']
+    )
+
+
+def test_stray_end_p_synthesizes_empty_p_raw():
+    # spec in-body </p> with no p in button scope: insert empty <p>,
+    # then close it (raw stream)
+    toks = [
+        ("chars", "x"),
+        ("end", "p", [], False),
+        ("chars", "y"),
+        ("eof",),
+    ]
+    assert raw_tree(toks) == "\n".join(
+        [
+            "| <html>",
+            "|   <head>",
+            "|   <body>",
+            '|     "x"',
+            "|     <p>",
+            '|     "y"',
+        ]
+    )
+
+
+def test_void_and_self_closing_never_stack():
+    assert tree("a<br>b<img src=x>c<div/>d") == "\n".join(
+        [
+            "| <html>",
+            "|   <head>",
+            "|   <body>",
+            '|     "a"',
+            "|     <br>",
+            '|     "b"',
+            "|     <img>",
+            '|       src="x"',
+            '|     "c"',
+            "|     <div>",
+            '|     "d"',
+        ]
+    )
+
+
+def test_attrs_preserved():
+    doc, _, _ = parse_html('<div class="main" id=top>x</div>')
+    body = doc.children[0].children[1]
+    div = body.children[0]
+    assert div.attr("class") == "main" and div.attr("id") == "top"
