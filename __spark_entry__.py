@@ -202,6 +202,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": dedup.ngram_jaccard_sql(),
         "dedup_embedding_cosine": similarity.embedding_near_dups_sql(),
         "dedup_simhash": dedup.simhash_sketches_sql(),
+        "dedup_simhash_pairs": dedup.simhash_near_dups_sql(),
         "ann_cosine_topk": similarity.cosine_topk_sql(),
         "ann_lsh_topk": similarity.lsh_topk_sql(),
         "conversation_stats": _conv_stats_oracle(),

@@ -325,6 +325,32 @@ def simhash_sketches_sql(table: str = "documents") -> str:
     """
 
 
+def simhash_near_dups_sql(table: str = "documents", max_hamming: int = 3) -> str:
+    """DuckDB twin of :func:`simhash_near_dups` — the same pigeonhole
+    quarter bucketing and xor+bit_count scoring over the oracled
+    sketches."""
+    base = simhash_sketches_sql(table)
+    return f"""
+    WITH sk AS ({base}),
+    nums AS (
+      SELECT doc_id, ('0x' || simhash)::UBIGINT AS sh FROM sk
+    ),
+    quarters AS (
+      SELECT doc_id, sh, g.q, (sh >> (16 * g.q)) & 65535 AS qv
+      FROM nums CROSS JOIN (SELECT unnest(range(4)) AS q) g
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.sh AS sa, b.sh AS sb
+      FROM quarters a JOIN quarters b
+        ON a.q = b.q AND a.qv = b.qv AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+    ORDER BY doc_a, doc_b
+    """
+
+
 def simhash_near_dups(
     spark: SparkSession, sf_dir: str, max_hamming: int = 3
 ) -> DataFrame:
