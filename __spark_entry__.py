@@ -21,6 +21,7 @@ from html_parser_spark.fixtures import ensure_transcripts
 from html_parser_spark.operators import (
     dedup,
     multimodal,
+    pdfops,
     relational,
     similarity,
     temporal,
@@ -175,6 +176,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quantiles_approx": textstats.length_quantiles_approx,
         # multimodal plumbing (binary payload → mapInPandas metadata)
         "multimodal_metadata": multimodal.payload_metadata,
+        # PDF/layout parse (writer→parser→layout round trip, oracled)
+        "pdf_page_text": pdfops.pdf_page_text,
         # relational coverage (SURVEY.md §2.6)
         "rel_pricing_summary": relational.pricing_summary,
         "rel_top_revenue_nations": relational.top_revenue_nations,
@@ -213,6 +216,7 @@ def oracle_sql() -> dict[str, str]:
         "text_length_quantiles": textstats.length_quantiles_sql(),
         "text_distinct_counts": textstats.distinct_counts_sql(),
         "multimodal_metadata": multimodal.payload_metadata_sql(),
+        "pdf_page_text": pdfops.pdf_page_text_sql(),
         "rel_pricing_summary": relational.pricing_summary_sql(),
         "rel_top_revenue_nations": relational.top_revenue_nations_sql(),
         "rel_customers_without_orders": relational.customers_without_orders_sql(),
