@@ -75,6 +75,8 @@ def main() -> None:
 
     if not args.skip_secondary:
         secondary = [
+            "extract_dom_turns",  # round-2: tree builder + DOM scoring
+            "pdf_page_text",  # round-2: PDF round trip
             "dedup_exact",
             "dedup_minhash_candidates",
             "dedup_simhash_pairs",
@@ -90,7 +92,14 @@ def main() -> None:
         for name in secondary:
             t0 = time.time()
             df = qmap[name](spark, args.sf_dir)
-            df.count()
+            if "main_text" in df.columns:
+                # a bare count() lets Catalyst prune the extraction UDF
+                # column entirely — force the text to materialize
+                df.select(
+                    F.count(F.lit(1)), F.sum(F.length("main_text"))
+                ).first()
+            else:
+                df.count()
             queries[name] = round(time.time() - t0, 3)
 
     out = {
