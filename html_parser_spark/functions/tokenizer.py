@@ -237,7 +237,11 @@ _FAST_TAG = re.compile(
 # simple comments: no '-'/'<'/NUL in the body ⇒ the automaton appends the
 # body verbatim and the trailing --> closes it (abrupt ``<!-->`` forms
 # don't match and fall back)
-_FAST_COMMENT = re.compile(r"<!--([^-<\x00]*)-->")
+# content must not START with '>' — "<!-->" is an abrupt close (empty
+# comment + reprocess) per comment_start, which the bulk match would
+# otherwise swallow into the comment (found by round-2 fuzz:
+# "<!-->x-->" → ref comment "" + chars "x-->", fast path said ">x")
+_FAST_COMMENT = re.compile(r"<!--([^-<\x00>][^-<\x00]*|)-->")
 
 _ASCII_ALPHA = frozenset(
     "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"

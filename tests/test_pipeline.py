@@ -59,6 +59,24 @@ def test_plan_shape(transcripts):
     assert read_schema == "struct<conv_id:string,turn_idx:int,text:string>"
 
 
+def test_dom_plan_shape(transcripts):
+    """The DOM pipeline keeps the flagship's plan discipline: pruned
+    scan, one exchange, Arrow UDF path."""
+    from html_parser_spark.operators.pipeline import run_dom_extraction
+
+    plan = (
+        run_dom_extraction(transcripts)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" in plan
+    assert plan.count("Exchange") == 1
+    scan_line = next(l for l in plan.splitlines() if "FileScan" in l)
+    read_schema = scan_line.split("ReadSchema: ")[1]
+    assert read_schema == "struct<conv_id:string,turn_idx:int,text:string>"
+
+
 def test_metrics_rollup(spark, extracted):
     m = {r.parse_status: r for r in extraction_metrics(extracted).collect()}
     assert "ok" in m

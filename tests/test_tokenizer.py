@@ -107,3 +107,22 @@ def test_spans_within_bounds(golden_sf0001):
         for t in toks:
             if t[0] == "chars":
                 assert 0 <= t[2] <= t[3] <= n, (r["conv_id"], r["turn_idx"], t[2:])
+
+
+def test_abrupt_comment_close_not_swallowed_by_fast_path():
+    """"<!-->" is an abrupt close (empty comment, reprocess the rest) —
+    the bulk comment regex must not swallow it (round-2 fuzz find:
+    ref emitted comment "" + chars "x-->"; the fast path said ">x")."""
+    from html_parser_spark.functions.tokenizer import tokenize
+
+    toks, status, _ = tokenize("<!-->x-->")
+    assert status == "ok"
+    assert toks[0] == ("comment", "")
+    assert toks[1][:2] == ("chars", "x-->")
+
+    toks2, _, _ = tokenize("q<!-->x-->z")
+    assert [t[:2] for t in toks2[:3]] == [
+        ("chars", "q"),
+        ("comment", ""),
+        ("chars", "x-->z"),
+    ]
