@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_cosine_topk": similarity.cosine_topk,
         "ann_lsh_topk": similarity.lsh_topk,
+        "ann_ivf_topk": similarity.ivf_topk,
         # text analysis
         "text_token_stats": _token_stats,
         "text_quality_scores": textstats.quality_scores,
@@ -208,6 +209,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": dedup.simhash_near_dups_sql(),
         "ann_cosine_topk": similarity.cosine_topk_sql(),
         "ann_lsh_topk": similarity.lsh_topk_sql(),
+        "ann_ivf_topk": similarity.ivf_topk_sql(),
         "conversation_stats": _conv_stats_oracle(),
         "text_token_stats": TOKEN_STATS_SQL,
         "text_quality_scores": textstats.quality_scores_sql(),

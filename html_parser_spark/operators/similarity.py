@@ -394,3 +394,182 @@ def embedding_near_dups_sql(table: str = "embeddings", threshold: float = 0.9) -
     FROM {table} a JOIN {table} b ON a.vec_id < b.vec_id
     WHERE {dot} / ({norm('a')} * {norm('b')}) >= {threshold}
     """
+
+
+# ------------------------------------------------------- IVF (coarse cells)
+
+
+def _centroids(dim: int, k: int, seed: int = 777):
+    """Deterministic data-independent coarse quantizer (seeded normal
+    centroids).  A real deployment trains k-means; fixed centroids keep
+    the operator training-free and the DuckDB oracle exact — the
+    candidate-generation *shape* (cell assign → probe → rescore) is the
+    IVF structure either way."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((k, dim))
+
+
+def _centroid_df(spark: SparkSession, dim: int, k: int, seed: int) -> DataFrame:
+    rows = [
+        (i, [float(v) for v in c]) for i, c in enumerate(_centroids(dim, k, seed))
+    ]
+    return spark.createDataFrame(rows, "cell: int, centroid: array<double>")
+
+
+def _sq_dist(a, b):
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 777,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """IVF-style approximate top-k: assign every vector to its nearest
+    coarse cell (argmin L2 over a broadcast 16-row centroid table —
+    n×k_cells work, one pass), probe each query's ``nprobe`` nearest
+    cells, exact-rescore only the probed cells' vectors.
+
+    At 10^12 vectors this is the classic two-level ANN layout: the cell
+    assignment shuffles once on cell id (bucketing the corpus), queries
+    touch nprobe/n_cells of the data, and raising n_cells trades scan
+    fraction for assignment cost.  Same output schema as
+    :func:`cosine_topk` (quantized ranking)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = _centroid_df(spark, dim, n_cells, seed)
+    dist = _sq_dist(F.col("embedding"), F.col("centroid"))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cell"))
+    assigned = (
+        emb.join(F.broadcast(cents))
+        .select("vec_id", "embedding", "cell", dist.alias("d"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cell")
+    )
+    probes = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .join(F.broadcast(cents))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            "cell",
+            dist.alias("d"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("cell"))
+            ),
+        )
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "q_emb", "cell")
+    )
+    pairs = assigned.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sim = _dot(F.col("q_emb"), F.col("embedding")) / (
+        _norm(F.col("q_emb")) * _norm(F.col("embedding"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_bp"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.floor(sim * 10000).cast("long").alias("cosine_bp"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "neighbor_id",
+            "cosine_bp",
+        )
+    )
+
+
+def ivf_topk_sql(
+    table: str = "embeddings",
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 777,
+    dim: int = EMB_DIM,
+) -> str:
+    """DuckDB twin: the same centroid table as VALUES rows, the same
+    argmin assignment / nprobe probing / quantized rescore."""
+    cents = _centroids(dim, n_cells, seed)
+    values = ",\n      ".join(
+        "(%d, [%s]::DOUBLE[])" % (i, ", ".join(repr(float(v)) for v in c))
+        for i, c in enumerate(cents)
+    )
+    sq = (
+        "list_sum(list_transform(list_zip(e.embedding, c.centroid), "
+        "p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])))"
+    )
+    dot_qe = (
+        "list_sum(list_transform(list_zip(q.q_emb, a.embedding), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+
+    def norm(col: str) -> str:
+        return (
+            f"sqrt(list_sum(list_transform({col}, "
+            "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        )
+
+    return f"""
+    WITH cents(cell, centroid) AS (VALUES
+      {values}
+    ),
+    dists AS (
+      SELECT e.vec_id, e.embedding, c.cell, {sq} AS d
+      FROM {table} e CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT vec_id, embedding, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, cell ASC) AS rn
+        FROM dists) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, embedding AS q_emb, cell FROM (
+        SELECT vec_id, embedding, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, cell ASC) AS rn
+        FROM dists WHERE vec_id < {n_queries}) WHERE rn <= {nprobe}
+    ),
+    pairs AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id,
+             {dot_qe} / ({norm('q.q_emb')} * {norm('a.embedding')}) AS sim_exact
+      FROM assigned a JOIN probes q USING (cell)
+      WHERE a.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             CAST(floor(sim_exact * 10000) AS BIGINT) AS cosine_bp,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY CAST(floor(sim_exact * 10000) AS BIGINT)
+                                           DESC,
+                                         neighbor_id ASC) AS rank
+      FROM pairs
+    )
+    SELECT query_id, rank, neighbor_id, cosine_bp FROM ranked WHERE rank <= {k}
+    """

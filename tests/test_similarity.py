@@ -66,3 +66,26 @@ def test_near_dups_plan_has_no_nested_loop(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """IVF with nprobe=4 of 16 cells probes ~25% of random-vector space;
+    assert a sane recall floor and exact agreement on values for the
+    neighbors it does return."""
+    from html_parser_spark.operators.similarity import cosine_topk, ivf_topk
+
+    sf = "/root/testdata/sf0.01"
+    exact = {}
+    for r in cosine_topk(spark, sf).collect():
+        exact.setdefault(r.query_id, {})[r.neighbor_id] = r.cosine_bp
+    ivf = {}
+    for r in ivf_topk(spark, sf).collect():
+        ivf.setdefault(r.query_id, {})[r.neighbor_id] = r.cosine_bp
+    hits = total = 0
+    for q, nbrs in exact.items():
+        total += len(nbrs)
+        for n_id, bp in nbrs.items():
+            if n_id in ivf.get(q, {}):
+                hits += 1
+                assert ivf[q][n_id] == bp  # same exact rescore values
+    assert hits / total >= 0.2, f"IVF recall {hits}/{total}"
