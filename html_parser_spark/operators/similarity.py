@@ -1,18 +1,24 @@
 """Similarity search over the ``embeddings`` table (array<float> column).
 
-Two paths:
+Three ANN paths plus the near-dup pair operator:
 
 - **brute-force cosine top-k** — the correctness baseline.  All math in
   double precision via built-in higher-order functions (``zip_with`` +
   ``aggregate``) so the plan stays JVM-side; the DuckDB oracle mirrors
-  the exact double-math fold so values are bit-comparable after ROUND.
-  The query side is tiny (n_queries rows) and is broadcast, so the scan
-  side never shuffles — at 100 TB this is one pass over the vectors.
-- **LSH-bucketed (random hyperplane)** — the scale path: sign-bit
-  signature over ``n_planes`` fixed hyperplanes (seeded, deterministic),
-  candidates = same-bucket vectors, exact re-score within bucket.
-  Recall vs brute force is asserted in pytest; driver check is
-  rows-only (the plane constants are not practical to inline in SQL).
+  the exact double-math fold and both engines rank on the QUANTIZED
+  similarity.  The query side is tiny and broadcast — one pass over
+  the vectors at any scale.
+- **LSH-bucketed (random hyperplane)** — sign-bit signature over fixed
+  seeded hyperplanes, candidates = same-bucket vectors, exact re-score
+  within bucket.  Oracled: the same plane literals are inlined in the
+  DuckDB twin.
+- **IVF-style (coarse cells)** — broadcast centroid table, argmin cell
+  assignment, ``nprobe`` nearest cells probed per query, exact rescore.
+  Oracled via a centroid VALUES table.
+- **embedding near-dup pairs** — banded random-hyperplane LSH candidate
+  generation (equi self-join on band keys, pandas-UDF signatures) +
+  exact re-score; the all-pairs theta join survives only as the
+  CI-scale truth for the planted-duplicate recall test.
 """
 
 from __future__ import annotations
