@@ -41,3 +41,17 @@ def test_near_dup_pairs_match_bruteforce(spark):
     assert set(got) == want
     for (a, b), h in got.items():
         assert bin(sk[a] ^ sk[b]).count("1") == h
+
+
+def test_numpy_simhash_twin_equals_reference_loop():
+    """The vectorized vote/threshold must equal the pure-Python
+    definition bit-for-bit (it feeds the oracled sketches)."""
+    import random
+
+    from html_parser_spark.operators.dedup import _simhash64_np, simhash64
+
+    rng = random.Random(20260817)
+    for _ in range(200):
+        words = ["w%d" % rng.randrange(400) for _ in range(rng.randrange(0, 200))]
+        assert simhash64(words) == _simhash64_np(words)
+    assert _simhash64_np([]) == 0 == simhash64([])
