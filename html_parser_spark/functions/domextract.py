@@ -17,7 +17,11 @@ operator in the Boilerpipe / jusText family (PAPERS.md):
    - ``link_density``  = chars under <a> / block chars       (jusText),
    - ``boiler``        = any ancestor-or-self whose class/id matches the
      boilerplate lexicon, or that is a dropped container
-     (script/style/nav/aside/footer/…)                 (tag/class prior).
+     (script/style/nav/aside/footer/…)                 (tag/class prior),
+   - ``stopword_density`` = stopword tokens / tokens (jusText's context
+     signal; multilingual union of the engine's langid lists) — reported
+     per block for downstream policies; the default keep decision stays
+     on the three structural signals so existing goldens are stable.
 3. A block is kept iff it has text, is not boiler, ``link_density <
    max_link_density`` and ``text_density >= min_text_density``.
 4. ``main_text`` = kept block texts joined by newline, document order.
@@ -32,6 +36,9 @@ import re
 
 from .extract import BLOCK_TAGS, DROP_TAGS, _BOILER_CLASS
 from .treebuilder import Element, parse_html
+from ..operators.textstats import STOP_DE, STOP_EN, STOP_ES, STOP_FR
+
+_STOPWORDS = frozenset(STOP_EN) | frozenset(STOP_FR) | frozenset(STOP_DE) | frozenset(STOP_ES)
 
 _WS_RUN = re.compile(r"\s+")
 
@@ -104,6 +111,8 @@ def score_blocks(doc: Element) -> list[dict]:
         if not text:
             continue
         n = len(text)
+        toks = text.lower().split()
+        stop_hits = sum(1 for w in toks if w in _STOPWORDS)
         out.append(
             {
                 "text": text,
@@ -111,6 +120,7 @@ def score_blocks(doc: Element) -> list[dict]:
                 "n_tags": b.tags,
                 "text_density": n / (1.0 + b.tags),
                 "link_density": min(1.0, b.link_chars / n),
+                "stopword_density": stop_hits / len(toks) if toks else 0.0,
                 "boiler": b.boiler or b.drop,
             }
         )

@@ -89,3 +89,15 @@ def test_spark_udf_matches_pure_python(spark):
     for row in t.select("conv_id", "turn_idx", "text").collect():
         exp = dom_extract(row["text"])["main_text"]
         assert got[(row["conv_id"], row["turn_idx"])] == exp
+
+
+def test_stopword_density_signal():
+    from html_parser_spark.functions.domextract import score_blocks
+
+    doc, _, _ = parse_html(
+        "<p>the cat is in the house and it was warm</p>"
+        "<p>zqx vbn mlk jhg fds</p>"
+    )
+    prose, junk = score_blocks(doc)
+    assert prose["stopword_density"] > 0.5
+    assert junk["stopword_density"] == 0.0

@@ -268,3 +268,93 @@ def test_attrs_preserved():
     body = doc.children[0].children[1]
     div = body.children[0]
     assert div.attr("class") == "main" and div.attr("id") == "top"
+
+
+# ---- additional spec-derived cases (round 2 continuation) -----------------
+
+def S(n, a=()):
+    return ("start", n, list(a), False)
+
+
+def E(n):
+    return ("end", n, [], False)
+
+
+def C(t):
+    return ("chars", t)
+
+
+BODY = ["| <html>", "|   <head>", "|   <body>"]
+
+
+def test_nested_same_tag_formatting_closes_innermost_first():
+    # <b><b>x</b></b>y — each </b> pops the most recent AFE entry
+    toks = [S("b"), S("b"), C("x"), E("b"), E("b"), C("y"), ("eof",)]
+    assert raw_tree(toks) == "\n".join(
+        BODY + ["|     <b>", "|       <b>", '|         "x"', '|     "y"']
+    )
+
+
+def test_adoption_agency_i_p_variant():
+    # <i><p>a</i>b</p> — the i clone wraps the p's content, "b" escapes
+    toks = [S("i"), S("p"), C("a"), E("i"), C("b"), E("p"), ("eof",)]
+    assert raw_tree(toks) == "\n".join(
+        BODY
+        + [
+            "|     <i>",
+            "|     <p>",
+            "|       <i>",
+            '|         "a"',
+            '|       "b"',
+        ]
+    )
+
+
+def test_dt_implicitly_closed_by_dd():
+    toks = [S("dl"), S("dt"), C("a"), S("dd"), C("b"), E("dl"), ("eof",)]
+    assert raw_tree(toks) == "\n".join(
+        BODY
+        + [
+            "|     <dl>",
+            "|       <dt>",
+            '|         "a"',
+            "|       <dd>",
+            '|         "b"',
+        ]
+    )
+
+
+def test_nested_list_li_not_closed_across_ul_barrier():
+    # ol/ul are list-scope barriers: the inner <li> must NOT close the
+    # outer one
+    toks = [
+        S("ul"), S("li"), C("a"), S("ul"), S("li"), C("b"),
+        E("ul"), E("ul"), ("eof",),
+    ]
+    assert raw_tree(toks) == "\n".join(
+        BODY
+        + [
+            "|     <ul>",
+            "|       <li>",
+            '|         "a"',
+            "|         <ul>",
+            "|           <li>",
+            '|             "b"',
+        ]
+    )
+
+
+def test_button_is_p_scope_barrier():
+    # an open outer <p> beyond a <button> is NOT in button scope — the
+    # inner <p> nests instead of closing it
+    toks = [S("p"), C("a"), S("button"), S("p"), C("b"), ("eof",)]
+    assert raw_tree(toks) == "\n".join(
+        BODY
+        + [
+            "|     <p>",
+            '|       "a"',
+            "|       <button>",
+            "|         <p>",
+            '|           "b"',
+        ]
+    )
