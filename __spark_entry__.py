@@ -233,8 +233,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_sessionize": temporal.sessionize_sql(),
         "udaf_value_median": udx.user_value_median_sql(),
         # no oracle (not SQL-expressible — tokenization): extract_turns,
-        # extract_metrics, tokens_kind_counts, display_roundtrip; plus
-        # dedup_simhash_pairs (derived from the oracled sketches),
-        # text_distinct_approx / text_quantiles_approx (sketch outputs —
-        # exact twins are oracled), multimodal stubs
+        # extract_dom_turns, extract_metrics, tokens_kind_counts,
+        # display_roundtrip; plus text_distinct_approx /
+        # text_quantiles_approx (sketch outputs — their exact twins are
+        # oracled)
     }

@@ -47,14 +47,15 @@ DEFAULT_MAX_LINK_DENSITY = 0.5
 
 
 class _Block:
-    __slots__ = ("parts", "link_chars", "tags", "boiler", "drop")
+    __slots__ = ("parts", "link_chars", "tags", "boiler", "drop", "in_link")
 
-    def __init__(self, boiler: bool, drop: bool):
+    def __init__(self, boiler: bool, drop: bool, in_link: bool = False):
         self.parts: list[str] = []
         self.link_chars = 0
         self.tags = 0
         self.boiler = boiler
         self.drop = drop
+        self.in_link = in_link  # whole block lives under an <a>
 
     def text(self) -> str:
         return _WS_RUN.sub(" ", "".join(self.parts)).strip()
@@ -67,34 +68,39 @@ def _is_boiler_el(el: Element) -> bool:
     return False
 
 
-def _segment(el: Element, boiler: bool, drop: bool, blocks: list, cur: _Block):
+def _segment(
+    el: Element,
+    boiler: bool,
+    drop: bool,
+    in_link: bool,
+    blocks: list,
+    cur: _Block,
+):
     """Depth-first block segmentation; returns the open block."""
     for child in el.children:
         if isinstance(child, str):
             cur.parts.append(child)
+            if in_link:
+                cur.link_chars += len(child)
             continue
         c_boiler = boiler or _is_boiler_el(child)
         c_drop = drop or child.tag in DROP_TAGS
+        c_link = in_link or child.tag == "a"
         if child.tag in BLOCK_TAGS or child.tag in DROP_TAGS:
             if cur.parts:
                 blocks.append(cur)
-            inner = _Block(c_boiler, c_drop)
-            inner = _segment(child, c_boiler, c_drop, blocks, inner)
+            # a block element nested under an <a> is still link content —
+            # its whole block inherits in_link (reviewer-found: the old
+            # run-diff accounting gave <a><div>…</div></a> link_chars=0
+            # and kept pure-link CTAs as prose)
+            inner = _Block(c_boiler, c_drop, in_link)
+            inner = _segment(child, c_boiler, c_drop, in_link, blocks, inner)
             if inner.parts:
                 blocks.append(inner)
-            cur = _Block(boiler, drop)
+            cur = _Block(boiler, drop, in_link)
         else:
             cur.tags += 1
-            if child.tag == "a":
-                before_obj = cur
-                before = sum(len(p) for p in cur.parts)
-                cur = _segment(child, c_boiler, c_drop, blocks, cur)
-                if cur is before_obj:
-                    cur.link_chars += sum(len(p) for p in cur.parts) - before
-                else:  # a block inside <a> flushed the run; count the tail
-                    cur.link_chars += sum(len(p) for p in cur.parts)
-            else:
-                cur = _segment(child, c_boiler, c_drop, blocks, cur)
+            cur = _segment(child, c_boiler, c_drop, c_link, blocks, cur)
     return cur
 
 
@@ -102,7 +108,7 @@ def score_blocks(doc: Element) -> list[dict]:
     """Flatten the DOM into scored text blocks (document order)."""
     blocks: list[_Block] = []
     root = _Block(False, False)
-    root = _segment(doc, False, False, blocks, root)
+    root = _segment(doc, False, False, False, blocks, root)
     if root.parts:
         blocks.append(root)
     out = []

@@ -56,12 +56,22 @@ class _Lexer:
 
     def token(self):
         """Next syntactic token: returns a Python value, or one of the
-        marker strings '<<' '>>' '[' ']' or an operator/keyword str."""
-        self._skip_ws()
-        d, n = self.d, len(self.d)
-        if self.i >= n:
-            return None
-        c = d[self.i]
+        marker strings '<<' '>>' '[' ']' or an operator/keyword str.
+        Total: malformed tokens degrade, never raise."""
+        while True:
+            self._skip_ws()
+            d, n = self.d, len(self.d)
+            if self.i >= n:
+                return None
+            c = d[self.i]
+            if c in _DELIM and not (
+                d.startswith(b"<<", self.i)
+                or d.startswith(b">>", self.i)
+                or c in b"[]/(<"
+            ):
+                self.i += 1  # lone delimiter we don't model — skip (no
+                continue  # recursion: a run of them must not blow the stack)
+            break
         if d.startswith(b"<<", self.i):
             self.i += 2
             return "<<"
@@ -84,11 +94,13 @@ class _Lexer:
             return ("str", self._literal_string())
         if c == 0x3C:  # <hex string>
             self.i += 1
-            end = d.index(b">", self.i)
+            end = d.find(b">", self.i)
+            if end < 0:  # unterminated — take the rest
+                end = n
             hexs = re.sub(rb"[^0-9A-Fa-f]", b"", d[self.i : end])
             if len(hexs) % 2:
                 hexs += b"0"
-            self.i = end + 1
+            self.i = min(end + 1, n)
             return ("str", bytes.fromhex(hexs.decode("ascii")))
         if c in b"+-.0123456789":
             start = self.i
@@ -96,13 +108,16 @@ class _Lexer:
             while self.i < n and d[self.i] in b"+-.0123456789":
                 self.i += 1
             t = d[start : self.i]
-            return ("num", float(t) if b"." in t else int(t))
+            try:
+                return ("num", float(t) if b"." in t else int(t))
+            except ValueError:  # ".", "+-", ... — degrade, don't raise
+                return ("num", 0)
         start = self.i
         while self.i < n and d[self.i] not in _WS and d[self.i] not in _DELIM:
             self.i += 1
-        if self.i == start:  # lone delimiter we don't model — skip it
+        if self.i == start:  # unmodeled delimiter at scan start
             self.i += 1
-            return self.token()
+            return ("num", 0)
         return d[start : self.i].decode("latin-1")
 
     def _literal_string(self) -> bytes:
@@ -115,6 +130,8 @@ class _Lexer:
             c = d[self.i]
             if c == 0x5C:  # backslash
                 self.i += 1
+                if self.i >= n:  # dangling backslash at EOF
+                    return bytes(out)
                 e = d[self.i]
                 if e in b"nrtbf":
                     out.append({0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}[e])
@@ -124,13 +141,17 @@ class _Lexer:
                     self.i += 1
                 elif 0x30 <= e <= 0x37:  # octal \d{1,3}
                     oct_digits = bytearray()
-                    while len(oct_digits) < 3 and 0x30 <= d[self.i] <= 0x37:
+                    while (
+                        len(oct_digits) < 3
+                        and self.i < n
+                        and 0x30 <= d[self.i] <= 0x37
+                    ):
                         oct_digits.append(d[self.i])
                         self.i += 1
                     out.append(int(oct_digits.decode(), 8) & 0xFF)
                 elif e in b"\r\n":  # line continuation
                     self.i += 1
-                    if e == 0x0D and d[self.i] == 0x0A:
+                    if e == 0x0D and self.i < n and d[self.i] == 0x0A:
                         self.i += 1
                 else:
                     out.append(e)
@@ -192,9 +213,20 @@ _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b", re.S)
 
 
 def _parse_objects(data: bytes) -> dict:
-    """obj number → (dict_value, stream_bytes|None, status)."""
+    """obj number → (dict_value, stream_bytes|None, status).
+
+    SEQUENTIAL scan: each ``N G obj`` is searched from the end of the
+    previous object (past its stream payload), so byte sequences that
+    merely LOOK like object headers inside stream bodies are never
+    matched — a content stream containing the text "3 0 obj" must not
+    shadow the real object 3 (reviewer-found; would silently corrupt
+    the parse)."""
     objects = {}
-    for m in _OBJ_RE.finditer(data):
+    pos = 0
+    while True:
+        m = _OBJ_RE.search(data, pos)
+        if m is None:
+            return objects
         num = int(m.group(1))
         lex = _Lexer(data, m.end())
         val = lex.value()
@@ -228,19 +260,11 @@ def _parse_objects(data: bytes) -> dict:
                     status = "bad_deflate"
             else:
                 status = "unsupported_filter"
+            pos = i + len(raw)
         else:
             lex.i = save
+            pos = max(lex.i, m.end())
         objects[num] = (val, stream, status)
-    return objects
-
-
-def _deref(objects: dict, v):
-    seen = 0
-    while isinstance(v, tuple) and v[0] == "ref" and seen < 32:
-        entry = objects.get(v[1])
-        v = entry[0] if entry else None
-        seen += 1
-    return v
 
 
 def _decode_text(b: bytes) -> str:
@@ -363,10 +387,20 @@ def _layout(runs: list, y_tol: float = 0.5, gap_factor: float = 1.8) -> list:
 def extract_pdf_text(data: bytes) -> dict:
     """bytes → {pages: [{lines, blocks}], status}.
 
-    ``status``: 'ok', 'not_pdf', 'no_pages', or the first stream error
-    ('unsupported_filter'/'bad_deflate')."""
+    ``status``: 'ok', 'not_pdf', 'no_pages', 'parse_error', or the first
+    stream error ('unsupported_filter'/'bad_deflate').  TOTAL: one bad
+    blob must fail its row, never the Spark task — any parser escape
+    (incl. pathological nesting hitting the recursion limit) degrades to
+    'parse_error'."""
     if not data.startswith(b"%PDF-"):
         return {"pages": [], "status": "not_pdf"}
+    try:
+        return _extract_pdf_text_unsafe(data)
+    except (RecursionError, Exception):  # noqa: BLE001 — totality contract
+        return {"pages": [], "status": "parse_error"}
+
+
+def _extract_pdf_text_unsafe(data: bytes) -> dict:
     objects = _parse_objects(data)
     status = "ok"
     pages = []

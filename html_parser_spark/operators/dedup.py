@@ -334,9 +334,14 @@ def simhash_sketches_sql(table: str = "documents") -> str:
     ``''.split()`` → ``[]``) via the LEFT JOIN coalesce."""
     return f"""
     WITH words AS (
+      -- Python str.split() semantics: split on whitespace runs and DROP
+      -- empty tokens (leading/trailing ws); trim()-based splitting
+      -- diverges on '\\n'-led text (reviewer-found, latent on the
+      -- single-space fixture corpus)
       SELECT doc_id,
-             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
-      FROM {table} WHERE trim(text) <> ''
+             unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                w -> w <> '')) AS w
+      FROM {table}
     ),
     hashes AS (
       SELECT doc_id, ('0x' || substring(md5(w), 1, 16))::UBIGINT AS h

@@ -122,9 +122,12 @@ def pdf_page_text_sql(table: str = "documents") -> str:
     lines → 20-line pages) — value-exact vs the Spark round trip."""
     return f"""
     WITH base AS (
+      -- Python str.split() semantics (the writer side): whitespace-run
+      -- split with empty tokens dropped — robust to leading/trailing
+      -- and tab/newline whitespace, unlike trim()+split
       SELECT doc_id,
-             CASE WHEN trim(text) = '' THEN []
-                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS words
+             list_filter(regexp_split_to_array(text, '\\s+'),
+                         w -> w <> '') AS words
       FROM {table}
     ),
     dims AS (
@@ -139,13 +142,13 @@ def pdf_page_text_sql(table: str = "documents") -> str:
       FROM dims
     )
     SELECT doc_id, page_idx,
-           array_to_string(
+           coalesce(array_to_string(
              list_transform(
                range(page_idx * {PAGE_LINES},
                      CAST(least(n_lines, (page_idx + 1) * {PAGE_LINES}) AS BIGINT)),
                l -> array_to_string(words[l * {LINE_WORDS} + 1 :
                                           (l + 1) * {LINE_WORDS}], ' ')),
-             chr(10)) AS page_text,
+             chr(10)), '') AS page_text,
            greatest(0, least({PAGE_LINES}, n_lines - page_idx * {PAGE_LINES}))
                AS n_lines,
            CAST(CASE WHEN n_lines - page_idx * {PAGE_LINES} > 0

@@ -97,6 +97,38 @@ def extract_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         yield _extract_frame(texts)
 
 
+def _salted_udf_stage(
+    pruned: DataFrame,
+    udf_col,
+    out_cols: list,
+    cols: list,
+    num_partitions: int | None,
+    salt_k: int,
+) -> DataFrame:
+    """The shared physical shape of every per-turn UDF pipeline: salted
+    repartition with an EXPLICIT partition count (CLAUDE.md invariant —
+    column-only repartition is AQE-coalescible and compressed-text
+    shuffles get merged under the Python compute), sortWithinPartitions
+    for stable (conv_id, turn_idx) order, one Arrow UDF, project."""
+    if num_partitions is None:
+        # 4× cores: measured sweet spot on local[32]/sf0.1 (64→13.3k,
+        # 128→16.1k, 256→10.8k turns/s) — small enough tasks to level
+        # text-length skew, large enough to amortize task/worker startup
+        sc = pruned.sparkSession.sparkContext
+        num_partitions = max(
+            sc.defaultParallelism * 4,
+            int(pruned.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        )
+    salt = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(salt_k))
+    parted = pruned.repartition(num_partitions, F.col("conv_id"), salt)
+    ordered = parted.sortWithinPartitions("conv_id", "turn_idx")
+    ext = ordered.withColumn("ext", udf_col)
+    return ext.select(
+        *[c for c in cols if c != "text"],
+        *[F.col(f"ext.{name}").alias(name) for name in out_cols],
+    )
+
+
 def run_extraction(
     df: DataFrame,
     *,
@@ -159,27 +191,8 @@ def run_extraction(
             *[F.col(f"ext.{name}").alias(name) for name in _COLS],
         )
         return short.unionByName(long_out)
-    salt = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(salt_k))
-    if num_partitions is None:
-        # ALWAYS pass an explicit count: a column-only repartition is
-        # AQE-coalescible, and compressed text shuffles are small enough
-        # (~4:1) that AQE would merge the whole table into 1-2 partitions
-        # and serialize the (much heavier) Python tokenize stage behind
-        # them.  Shuffle bytes are a bad proxy for UDF compute.
-        # 4× cores: measured sweet spot on local[32]/sf0.1 (64→13.3k,
-        # 128→16.1k, 256→10.8k turns/s) — small enough tasks to level
-        # text-length skew, large enough to amortize task/worker startup
-        sc = pruned.sparkSession.sparkContext
-        num_partitions = max(
-            sc.defaultParallelism * 4,
-            int(pruned.sparkSession.conf.get("spark.sql.shuffle.partitions")),
-        )
-    parted = pruned.repartition(num_partitions, F.col("conv_id"), salt)
-    ordered = parted.sortWithinPartitions("conv_id", "turn_idx")
-    ext = ordered.withColumn("ext", extract_udf(F.col("text")))
-    return ext.select(
-        *[c for c in cols if c != "text"],
-        *[F.col(f"ext.{name}").alias(name) for name in _COLS],
+    return _salted_udf_stage(
+        pruned, extract_udf(F.col("text")), _COLS, cols, num_partitions, salt_k
     )
 
 
@@ -236,19 +249,13 @@ def run_dom_extraction(
     the tree-building scorer instead of the token-stream policy."""
     cols = list(dict.fromkeys([*passthrough, "text"]))
     pruned = df.select(*cols)
-    if num_partitions is None:
-        sc = pruned.sparkSession.sparkContext
-        num_partitions = max(
-            sc.defaultParallelism * 4,
-            int(pruned.sparkSession.conf.get("spark.sql.shuffle.partitions")),
-        )
-    salt = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(salt_k))
-    parted = pruned.repartition(num_partitions, F.col("conv_id"), salt)
-    ordered = parted.sortWithinPartitions("conv_id", "turn_idx")
-    ext = ordered.withColumn("ext", dom_extract_udf(F.col("text")))
-    return ext.select(
-        *[c for c in cols if c != "text"],
-        *[F.col(f"ext.{name}").alias(name) for name in _DOM_COLS],
+    return _salted_udf_stage(
+        pruned,
+        dom_extract_udf(F.col("text")),
+        _DOM_COLS,
+        cols,
+        num_partitions,
+        salt_k,
     )
 
 

@@ -145,6 +145,22 @@ def _planes(dim: int, n_planes: int, seed: int = 1234):
 EMB_DIM = 64  # testdata embeddings schema (TESTDATA.md); callers override
 
 
+def _require_dim(col, dim: int):
+    """Fail LOUDLY on width mismatch: the fixed-plane/centroid operators
+    would otherwise fold null-padded zip_with products into silently
+    wrong buckets for non-``dim`` embeddings (reviewer-found after the
+    round-1 ``.first()`` auto-probe was removed)."""
+    return F.when(F.size(col) == dim, col).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("embedding dim "),
+                F.size(col).cast("string"),
+                F.lit(f" != expected {dim} — pass dim= explicitly"),
+            )
+        )
+    )
+
+
 def lsh_signatures(
     spark: SparkSession,
     sf_dir: str,
@@ -161,7 +177,9 @@ def lsh_signatures(
     ``dim`` is a parameter (callers know their embedding width) so plan
     construction triggers NO driver-side Spark action — the round-1
     ``.first()`` here was a hidden job per plan build."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", _require_dim(F.col("embedding"), dim)
+    )
     planes = _planes(dim, n_planes, seed)
     bucket = F.lit(0)
     for i, p in enumerate(planes):
@@ -230,6 +248,11 @@ def band_signature_udf(n_bands: int, band_bits: int, seed: int, dim: int):
     @pandas_udf(ArrayType(IntegerType()))
     def _bands(embs: pd.Series) -> pd.Series:
         mat = np.array(embs.tolist(), dtype=np.float64)
+        if mat.size and mat.shape[1] != dim:
+            raise ValueError(
+                f"embedding dim {mat.shape[1]} != expected {dim} — "
+                "pass dim= explicitly"
+            )
         bits = (mat @ planes.T) > 0
         vals = bits.reshape(len(mat), n_bands, band_bits) @ weights
         return pd.Series(list(vals.astype(np.int32)))
@@ -454,7 +477,9 @@ def ivf_topk(
     touch nprobe/n_cells of the data, and raising n_cells trades scan
     fraction for assignment cost.  Same output schema as
     :func:`cosine_topk` (quantized ranking)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", _require_dim(F.col("embedding"), dim)
+    )
     cents = _centroid_df(spark, dim, n_cells, seed)
     dist = _sq_dist(F.col("embedding"), F.col("centroid"))
     w_assign = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cell"))

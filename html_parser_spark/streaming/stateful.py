@@ -25,7 +25,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-SESSION_GAP_SEC = 1800  # mirror temporal.SESSION_GAP_SEC
+from ..operators.temporal import SESSION_GAP_SEC  # the batch twin's gap —
+# imported, not copied, so the stream≡batch twin test can never diverge
+# on the constant
 
 OUTPUT_SCHEMA = (
     "user_id long, session_start_sec long, session_end_sec long, "

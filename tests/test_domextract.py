@@ -101,3 +101,15 @@ def test_stopword_density_signal():
     prose, junk = score_blocks(doc)
     assert prose["stopword_density"] > 0.5
     assert junk["stopword_density"] == 0.0
+
+
+def test_link_block_nested_in_anchor_dropped():
+    """<a><div>CTA</div></a> — block elements nested under an anchor are
+    link content (reviewer-found: the old run-diff accounting scored
+    them link_density 0 and kept CTAs as prose)."""
+    r = dom_extract(
+        "<a href=x><div>Click here to subscribe now please</div></a>"
+        "<p>Real prose that is long enough to clear the density bar.</p>"
+    )
+    assert "subscribe" not in r["main_text"]
+    assert "Real prose" in r["main_text"]
