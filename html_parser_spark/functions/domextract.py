@@ -36,7 +36,7 @@ import re
 
 from .extract import BLOCK_TAGS, DROP_TAGS, _BOILER_CLASS
 from .treebuilder import Element, parse_html
-from ..operators.textstats import STOP_DE, STOP_EN, STOP_ES, STOP_FR
+from .stopwords import STOP_DE, STOP_EN, STOP_ES, STOP_FR
 
 _STOPWORDS = frozenset(STOP_EN) | frozenset(STOP_FR) | frozenset(STOP_DE) | frozenset(STOP_ES)
 

@@ -17,11 +17,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-# shared stopword lists — mirrored literally in the SQL oracles
-STOP_EN = ("the", "and", "of", "to", "is", "in", "that", "it", "for", "was")
-STOP_FR = ("le", "la", "les", "de", "des", "et", "est", "une", "que", "pour")
-STOP_DE = ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu")
-STOP_ES = ("el", "la", "los", "de", "que", "es", "una", "por", "con", "para")
+# shared stopword lists — mirrored literally in the SQL oracles; the
+# canonical tuples live Spark-free in functions/stopwords.py so the DOM
+# scorer can import them without dragging Spark in
+from ..functions.stopwords import STOP_DE, STOP_EN, STOP_ES, STOP_FR  # noqa: E402,F401
 
 
 def _sql_list(words) -> str:
