@@ -440,13 +440,6 @@ def _centroids(dim: int, k: int, seed: int = 777):
     return rng.standard_normal((k, dim))
 
 
-def _centroid_df(spark: SparkSession, dim: int, k: int, seed: int) -> DataFrame:
-    rows = [
-        (i, [float(v) for v in c]) for i, c in enumerate(_centroids(dim, k, seed))
-    ]
-    return spark.createDataFrame(rows, "cell: int, centroid: array<double>")
-
-
 def _sq_dist(a, b):
     return F.aggregate(
         F.zip_with(
@@ -480,33 +473,41 @@ def ivf_topk(
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
         "embedding", _require_dim(F.col("embedding"), dim)
     )
-    cents = _centroid_df(spark, dim, n_cells, seed)
-    dist = _sq_dist(F.col("embedding"), F.col("centroid"))
-    w_assign = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cell"))
-    assigned = (
-        emb.join(F.broadcast(cents))
-        .select("vec_id", "embedding", "cell", dist.alias("d"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cell")
+    cents = _centroids(dim, n_cells, seed)
+    # cell assignment as ONE inline expression (array of per-centroid
+    # distances → first-index argmin): zero joins, zero shuffles — a
+    # centroid-table cross join + window would shuffle n_cells×n rows at
+    # 10^9+ vectors just to pick a minimum
+    dists = F.array(
+        *[
+            _sq_dist(F.array(*[F.lit(float(v)) for v in c]), F.col("embedding"))
+            for c in cents
+        ]
+    )
+    cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    assigned = emb.select("vec_id", "embedding", cell.alias("cell"))
+    # probes: sort (distance, cell) structs, take the nprobe nearest
+    dist_structs = F.array(
+        *[
+            F.struct(
+                _sq_dist(
+                    F.array(*[F.lit(float(v)) for v in c]), F.col("embedding")
+                ).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(cents)
+        ]
     )
     probes = (
         emb.filter(F.col("vec_id") < n_queries)
-        .join(F.broadcast(cents))
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
-            "cell",
-            dist.alias("d"),
+            F.explode(
+                F.slice(F.array_sort(dist_structs), 1, nprobe)
+            ).alias("p"),
         )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("cell"))
-            ),
-        )
-        .filter(F.col("rn") <= nprobe)
-        .select("query_id", "q_emb", "cell")
+        .select("query_id", "q_emb", F.col("p.cell").alias("cell"))
     )
     pairs = assigned.join(F.broadcast(probes), "cell").filter(
         F.col("vec_id") != F.col("query_id")
