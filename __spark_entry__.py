@@ -116,11 +116,11 @@ TOKEN_STATS_SQL = """
     SELECT doc_id,
            length(text) AS char_count,
            CASE WHEN trim(text) = '' THEN 0
-                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS token_count,
+                ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) END AS token_count,
            CAST(floor((CASE WHEN trim(text) = '' THEN 0.0
-                ELSE list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                ELSE list_sum(list_transform(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'),
                                              w -> CAST(length(w) AS DOUBLE)))
-                     / len(regexp_split_to_array(trim(text), '\\s+')) END) * 10000)
+                     / len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) END) * 10000)
                 AS BIGINT) AS avg_token_len_bp
     FROM documents
 """

@@ -47,15 +47,14 @@ DEFAULT_MAX_LINK_DENSITY = 0.5
 
 
 class _Block:
-    __slots__ = ("parts", "link_chars", "tags", "boiler", "drop", "in_link")
+    __slots__ = ("parts", "link_chars", "tags", "boiler", "drop")
 
-    def __init__(self, boiler: bool, drop: bool, in_link: bool = False):
+    def __init__(self, boiler: bool, drop: bool):
         self.parts: list[str] = []
         self.link_chars = 0
         self.tags = 0
         self.boiler = boiler
         self.drop = drop
-        self.in_link = in_link  # whole block lives under an <a>
 
     def text(self) -> str:
         return _WS_RUN.sub(" ", "".join(self.parts)).strip()
@@ -93,11 +92,11 @@ def _segment(
             # its whole block inherits in_link (reviewer-found: the old
             # run-diff accounting gave <a><div>…</div></a> link_chars=0
             # and kept pure-link CTAs as prose)
-            inner = _Block(c_boiler, c_drop, in_link)
+            inner = _Block(c_boiler, c_drop)
             inner = _segment(child, c_boiler, c_drop, in_link, blocks, inner)
             if inner.parts:
                 blocks.append(inner)
-            cur = _Block(boiler, drop, in_link)
+            cur = _Block(boiler, drop)
         else:
             cur.tags += 1
             cur = _segment(child, c_boiler, c_drop, c_link, blocks, cur)

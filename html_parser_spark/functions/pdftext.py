@@ -115,9 +115,8 @@ class _Lexer:
         start = self.i
         while self.i < n and d[self.i] not in _WS and d[self.i] not in _DELIM:
             self.i += 1
-        if self.i == start:  # unmodeled delimiter at scan start
-            self.i += 1
-            return ("num", 0)
+        # c is neither whitespace nor a delimiter here (the skip loop above
+        # consumed those), so the keyword scan always advances
         return d[start : self.i].decode("latin-1")
 
     def _literal_string(self) -> bytes:
@@ -242,9 +241,14 @@ def _parse_objects(data: bytes) -> dict:
             elif data[i : i + 1] == b"\n":
                 i += 1
             length = val.get("Length") if isinstance(val, dict) else None
-            if isinstance(length, int):
+            if isinstance(length, int) and data.find(
+                b"endstream", i + length, i + length + 20
+            ) >= 0:
                 raw = data[i : i + length]
             else:
+                # missing or LYING /Length (overstated lengths would span
+                # past the next object header and truncate the document —
+                # reviewer-found): trust the endstream marker instead
                 end = data.find(b"endstream", i)
                 raw = data[i : end if end >= 0 else len(data)]
                 raw = raw.rstrip(b"\r\n")
@@ -264,6 +268,14 @@ def _parse_objects(data: bytes) -> dict:
         else:
             lex.i = save
             pos = max(lex.i, m.end())
+        if pos >= len(data):
+            # a locally-malformed object (unterminated string/dict) made
+            # the lexer consume to EOF — resync at the next endobj so the
+            # REST of the document still parses (reviewer-found: the
+            # naive sequential scan silently dropped every later object)
+            nxt = data.find(b"endobj", m.end())
+            if nxt >= 0:
+                pos = nxt + len(b"endobj")
         objects[num] = (val, stream, status)
 
 
@@ -396,7 +408,8 @@ def extract_pdf_text(data: bytes) -> dict:
         return {"pages": [], "status": "not_pdf"}
     try:
         return _extract_pdf_text_unsafe(data)
-    except (RecursionError, Exception):  # noqa: BLE001 — totality contract
+    except Exception:  # noqa: BLE001 — totality contract (includes
+        # RecursionError from pathological nesting)
         return {"pages": [], "status": "parse_error"}
 
 

@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import StringType
 
+from ..functions.textnorm import ascii_words
+
 N_HASHES = 8
 N_BANDS = 4  # rows per band = N_HASHES // N_BANDS = 2
 
@@ -38,7 +40,7 @@ def _norm():
     return F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
 
 
-NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+NORM_SQL = "trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g'))"
 
 
 def exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -312,7 +314,7 @@ def _simhash_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
     for texts in batches:
         out = []
         for t in texts:
-            words = (t or "").lower().split()
+            words = ascii_words((t or "").lower())
             out.append(format(_simhash64_np(words), "016x"))
         yield pd.Series(out)
 
@@ -339,7 +341,7 @@ def simhash_sketches_sql(table: str = "documents") -> str:
       -- diverges on '\\n'-led text (reviewer-found, latent on the
       -- single-space fixture corpus)
       SELECT doc_id,
-             unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+             unnest(list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
                                 w -> w <> '')) AS w
       FROM {table}
     ),

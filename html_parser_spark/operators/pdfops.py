@@ -27,6 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.pdftext import build_pdf, extract_pdf_text
+from ..functions.textnorm import ascii_words
 
 LINE_WORDS = 8
 PAGE_LINES = 20
@@ -42,7 +43,7 @@ PAGES_SCHEMA = (
 
 def doc_to_pdf(text: str, compress: bool) -> bytes:
     """Deterministic text → PDF bytes under the fixed layout grammar."""
-    words = (text or "").split()
+    words = ascii_words(text)  # cross-engine-stable whitespace contract
     lines = [
         " ".join(words[i : i + LINE_WORDS])
         for i in range(0, len(words), LINE_WORDS)
@@ -126,7 +127,7 @@ def pdf_page_text_sql(table: str = "documents") -> str:
       -- split with empty tokens dropped — robust to leading/trailing
       -- and tab/newline whitespace, unlike trim()+split
       SELECT doc_id,
-             list_filter(regexp_split_to_array(text, '\\s+'),
+             list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
                          w -> w <> '') AS words
       FROM {table}
     ),

@@ -154,11 +154,9 @@ def run_resumable(
     # mergeSchema: outputs written by the pre-run_id layout would
     # otherwise win the footer-sampling race and the run_id column could
     # vanish from the inferred schema (upgrade-resume path).
-    if "/" in out_path:
-        committed = spark.read.option("mergeSchema", "true").parquet(out_path)
-    else:
-        committed = read_table(spark, out_path)
-    committed = committed.filter(F.col("run_id") == run_id)
+    committed = read_table(
+        spark, out_path, options={"mergeSchema": "true"}
+    ).filter(F.col("run_id") == run_id)
     append_table(
         lineage_rows(committed, run_id), os.path.join(out_dir, "lineage")
     )

@@ -150,11 +150,11 @@ def _require_dim(col, dim: int):
     would otherwise fold null-padded zip_with products into silently
     wrong buckets for non-``dim`` embeddings (reviewer-found after the
     round-1 ``.first()`` auto-probe was removed)."""
-    return F.when(F.size(col) == dim, col).otherwise(
+    return F.when(col.isNotNull() & (F.size(col) == dim), col).otherwise(
         F.raise_error(
             F.concat(
                 F.lit("embedding dim "),
-                F.size(col).cast("string"),
+                F.coalesce(F.size(col).cast("string"), F.lit("NULL")),
                 F.lit(f" != expected {dim} — pass dim= explicitly"),
             )
         )
@@ -195,10 +195,11 @@ def lsh_topk(
     n_queries: int = N_QUERIES,
     k: int = TOP_K,
     n_planes: int = 4,
+    dim: int = EMB_DIM,
 ) -> DataFrame:
     """Approximate top-k: exact cosine, but only within the query's LSH
     bucket.  Same output schema as :func:`cosine_topk`."""
-    sig = lsh_signatures(spark, sf_dir, n_planes=n_planes)
+    sig = lsh_signatures(spark, sf_dir, n_planes=n_planes, dim=dim)
     q = sig.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -474,19 +475,13 @@ def ivf_topk(
         "embedding", _require_dim(F.col("embedding"), dim)
     )
     cents = _centroids(dim, n_cells, seed)
-    # cell assignment as ONE inline expression (array of per-centroid
-    # distances → first-index argmin): zero joins, zero shuffles — a
+    # cell assignment as ONE inline expression (sorted array of
+    # per-centroid (distance, cell) structs — lexicographic struct sort
+    # gives the (d, cell) tie-break): zero joins, zero shuffles — a
     # centroid-table cross join + window would shuffle n_cells×n rows at
-    # 10^9+ vectors just to pick a minimum
-    dists = F.array(
-        *[
-            _sq_dist(F.array(*[F.lit(float(v)) for v in c]), F.col("embedding"))
-            for c in cents
-        ]
-    )
-    cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-    assigned = emb.select("vec_id", "embedding", cell.alias("cell"))
-    # probes: sort (distance, cell) structs, take the nprobe nearest
+    # 10^9+ vectors just to pick a minimum.  One struct array serves
+    # both assignment (element 1) and probing (slice nprobe), keeping
+    # the expression tree at n_cells×dim literals, not double.
     dist_structs = F.array(
         *[
             F.struct(
@@ -498,6 +493,8 @@ def ivf_topk(
             for i, c in enumerate(cents)
         ]
     )
+    cell = F.element_at(F.array_sort(dist_structs), 1)["cell"]
+    assigned = emb.select("vec_id", "embedding", cell.alias("cell"))
     probes = (
         emb.filter(F.col("vec_id") < n_queries)
         .select(

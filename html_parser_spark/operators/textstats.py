@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 # canonical tuples live Spark-free in functions/stopwords.py so the DOM
 # scorer can import them without dragging Spark in
 from ..functions.stopwords import STOP_DE, STOP_EN, STOP_ES, STOP_FR  # noqa: E402,F401
+from ..functions.textnorm import SQL_WS  # DuckDB \\s lacks \\x0b (textnorm.py)
 
 
 def _sql_list(words) -> str:
@@ -88,10 +89,10 @@ def quality_scores_sql(table: str = "documents") -> str:
              "* 1.0 / greatest(length(text), 1)")
     alpha = ("length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 "
              "/ greatest(length(text), 1)")
-    stop = (f"len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+    stop = (f"len(list_filter(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+'), "
             f"w -> w IN ({_sql_list(STOP_EN)}))) * 1.0 "
             "/ greatest(CASE WHEN trim(text) = '' THEN 0 "
-            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 1)")
+            "ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) END, 1)")
     return f"""
     SELECT doc_id,
            CAST(floor(({punct}) * 10000) AS BIGINT) AS punct_bp,
@@ -149,7 +150,7 @@ def langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def langid_sql(table: str = "documents") -> str:
     def hits(stops):
         return (
-            f"len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+            f"len(list_filter(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+'), "
             f"w -> w IN ({_sql_list(stops)})))"
         )
 
@@ -219,7 +220,7 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def distinct_counts_sql(table: str = "documents") -> str:
     return f"""
     SELECT source, count(*) AS n_docs,
-           count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+           count(DISTINCT md5(trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g'))))
                AS n_distinct
     FROM {table} GROUP BY source ORDER BY source
     """
@@ -284,7 +285,7 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fingerprints_sql(table: str = "documents") -> str:
     return f"""
     SELECT doc_id,
-           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
-           length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS norm_len
+           md5(trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS fingerprint,
+           length(trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS norm_len
     FROM {table}
     """

@@ -96,12 +96,19 @@ def iceberg_available(spark: SparkSession, catalog: str = "spark_catalog") -> bo
         return False
 
 
-def read_table(spark: SparkSession, ref: str) -> DataFrame:
+def read_table(
+    spark: SparkSession, ref: str, options: dict | None = None
+) -> DataFrame:
     """``ref`` is either an Iceberg table name (``db.transcripts``) when
-    the catalog is configured, or a parquet path."""
+    the catalog is configured, or a parquet path.  ``options`` apply to
+    the parquet fallback (e.g. mergeSchema for schema-evolved outputs);
+    Iceberg handles evolution natively."""
     if "/" not in ref and iceberg_available(spark):
         return spark.read.table(ref)
-    return spark.read.parquet(ref)
+    reader = spark.read
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.parquet(ref)
 
 
 def read_transcripts(

@@ -3,6 +3,7 @@
 import pytest
 from pyspark.sql import functions as F
 
+from html_parser_spark.functions.textnorm import ascii_words
 from html_parser_spark.operators.dedup import (
     simhash64,
     simhash_near_dups,
@@ -20,7 +21,9 @@ def test_udf_matches_python_oracle(spark):
     got = {r.doc_id: r.simhash for r in simhash_sketches(spark, SF_DIR).collect()}
     assert set(got) == set(docs)
     for doc_id, text in docs.items():
-        want = format(simhash64((text or "").lower().split()), "016x")
+        want = format(
+            simhash64(ascii_words((text or "").lower())), "016x"
+        )
         assert got[doc_id] == want, doc_id
 
 
