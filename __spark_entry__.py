@@ -15,9 +15,11 @@ import os
 import re
 from collections.abc import Callable
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from html_parser_spark.fixtures import ensure_transcripts
+from html_parser_spark.goldens import gate_golden_parquet
 from html_parser_spark.operators import (
     dedup,
     multimodal,
@@ -50,14 +52,57 @@ def entry(spark: SparkSession) -> DataFrame:
     return run_extraction(_transcripts(spark, 0.001), num_partitions=8)
 
 
+# One extraction pass and one tokenize pass shared across the gate queries
+# (VERDICT r02 item 8: the gate was running the Python UDF stage 4× per
+# corpus — extract_turns, extract_metrics, tokens_kind_counts and
+# display_roundtrip each re-executed it).  Keyed by session identity so a
+# restarted session never sees a stale plan.
+_FRAME_CACHE: dict = {}
+
+
+def _extracted(spark: SparkSession, sf: float) -> DataFrame:
+    key = ("extract", id(spark), sf)
+    df = _FRAME_CACHE.get(key)
+    if df is None:
+        df = run_extraction(_transcripts(spark, sf)).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        _FRAME_CACHE[key] = df
+    return df
+
+
+def _tokenized(spark: SparkSession, sf: float) -> DataFrame:
+    """(conv_id, turn_idx, tokens) with the same explicit-partition-count
+    discipline as the extraction path (CLAUDE.md invariant)."""
+    key = ("tokens", id(spark), sf)
+    df = _FRAME_CACHE.get(key)
+    if df is None:
+        t = _transcripts(spark, sf)
+        n_parts = max(
+            t.sparkSession.sparkContext.defaultParallelism * 4,
+            int(t.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        )
+        salt = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(8))
+        df = (
+            t.select("conv_id", "turn_idx", "text")
+            .repartition(n_parts, F.col("conv_id"), salt)
+            .sortWithinPartitions("conv_id", "turn_idx")
+            .select("conv_id", "turn_idx", tokenize_udf(F.col("text")).alias("tokens"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        _FRAME_CACHE[key] = df
+    return df
+
+
 def _extract_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship extraction, driver-facing projection.
 
     The driver's canonicalizer sorts/hashes columns via pandas and cannot
     factorize an ``array<struct>`` column (round-1 hard err), so the spans
     column is serialized to a stable JSON scalar here; ``run_extraction``
-    keeps the typed struct column for real consumers."""
-    ext = run_extraction(_transcripts(spark, _sf_of(sf_dir)))
+    keeps the typed struct column for real consumers.  Value-oracled
+    against the committed reference-binary goldens (goldens.py)."""
+    ext = _extracted(spark, _sf_of(sf_dir))
     return ext.select(
         *[c for c in ext.columns if c != "spans"],
         F.to_json("spans").alias("spans_json"),
@@ -66,24 +111,23 @@ def _extract_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dom_extract_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOM-heuristic extraction (tree builder + text-density scoring —
-    functions/domextract.py); rows-only like the flagship."""
+    functions/domextract.py)."""
     return run_dom_extraction(_transcripts(spark, _sf_of(sf_dir)))
 
 
 def _extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return extraction_metrics(
-        run_extraction(_transcripts(spark, _sf_of(sf_dir)))
-    ).orderBy("parse_status")
+    return extraction_metrics(_extracted(spark, _sf_of(sf_dir))).orderBy(
+        "parse_status"
+    )
 
 
 def _token_kind_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-stream surface: tokenize_udf -> explode (= next_token) ->
-    per-kind counts over the transcript corpus (rows-only: tokenization
-    is not SQL-expressible)."""
-    t = _transcripts(spark, _sf_of(sf_dir))
+    per-kind counts over the transcript corpus.  Value-oracled against
+    kind counts of the REFERENCE binary's token streams."""
+    tk = _tokenized(spark, _sf_of(sf_dir))
     return (
-        t.select(tokenize_udf(F.col("text")).alias("tokens"))
-        .select(F.explode("tokens").alias("tok"))
+        tk.select(F.explode("tokens").alias("tok"))
         .groupBy(F.col("tok.kind").alias("kind"))
         .agg(F.count(F.lit(1)).alias("n_tokens"))
         .orderBy("kind")
@@ -91,13 +135,16 @@ def _token_kind_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _display_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Display-format serialization (token.rs Display impls) over the
-    transcript corpus; returns per-turn display lengths (rows-only)."""
-    t = _transcripts(spark, _sf_of(sf_dir))
-    return t.select(
+    """Display-format serialization (token.rs:163-181, 210-222 Display
+    impls) over the transcript corpus: per-turn md5 of the concatenated
+    Display string, value-oracled against md5 of the REFERENCE BINARY's
+    own Display output (VERDICT r02 item 2 — the former length-only
+    projection let two wrong serializations of equal length pass)."""
+    tk = _tokenized(spark, _sf_of(sf_dir))
+    return tk.select(
         "conv_id",
         "turn_idx",
-        F.length(display_expr(tokenize_udf(F.col("text")))).alias("display_len"),
+        F.md5(display_expr(F.col("tokens"))).alias("display_md5"),
     )
 
 
@@ -144,9 +191,63 @@ def _conv_stats_oracle() -> str:
     """
 
 
+def _golden_path() -> str:
+    """Reference-binary golden parquet for the gate's scale factor.
+
+    Tokenization itself is not SQL-expressible, but its VALUE truth is:
+    the goldens are generated from the compiled reference binary with
+    per-row full-token-stream + Display equality asserted (see
+    tools/golden_gen/gen_gate_goldens.py provenance notes), committed,
+    and materialized as parquet for DuckDB — so the extraction family is
+    hash-checked against the reference, not merely row-counted."""
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR")
+    return gate_golden_parquet(_sf_of(sf_dir) if sf_dir else 0.01)
+
+
+def _extract_turns_oracle() -> str:
+    return f"""
+    SELECT conv_id, turn_idx, main_text, spans_json, err_count,
+           parse_status, n_tokens, n_blocks, n_kept_blocks
+    FROM read_parquet('{_golden_path()}')
+    """
+
+
+def _extract_metrics_oracle() -> str:
+    return f"""
+    SELECT parse_status,
+           count(*) AS turns,
+           CAST(sum(err_count) AS BIGINT) AS dropped_end_tags,
+           CAST(sum(length(main_text)) AS BIGINT) AS main_text_chars,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens,
+           CAST(sum(n_kept_blocks) AS BIGINT) AS kept_blocks,
+           CAST(sum(n_blocks) AS BIGINT) AS blocks
+    FROM read_parquet('{_golden_path()}')
+    GROUP BY parse_status ORDER BY parse_status
+    """
+
+
+def _token_kind_counts_oracle() -> str:
+    path = _golden_path()
+    selects = "\n      UNION ALL ".join(
+        f"SELECT '{k}' AS kind, CAST(sum(n_{k}) AS BIGINT) AS n_tokens "
+        f"FROM read_parquet('{path}')"
+        for k in ("chars", "start", "end", "comment", "doctype", "eof")
+    )
+    return f"""
+    SELECT kind, n_tokens FROM ({selects})
+    WHERE n_tokens > 0 ORDER BY kind
+    """
+
+
+def _display_roundtrip_oracle() -> str:
+    return f"""
+    SELECT conv_id, turn_idx, display_md5 FROM read_parquet('{_golden_path()}')
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # flagship extraction (tokenizer not SQL-expressible → rows-only)
+        # flagship extraction (value-oracled vs reference-binary goldens)
         "extract_turns": _extract_turns,
         "extract_dom_turns": _dom_extract_turns,
         "extract_metrics": _extract_metrics,
@@ -199,6 +300,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "extract_turns": _extract_turns_oracle(),
+        "extract_metrics": _extract_metrics_oracle(),
+        "tokens_kind_counts": _token_kind_counts_oracle(),
+        "display_roundtrip": _display_roundtrip_oracle(),
         "dedup_exact": dedup.exact_duplicates_sql(),
         "dedup_keep_list": dedup.dedup_keep_list_sql(),
         "dedup_minhash_signatures": dedup.minhash_signatures_sql(),
@@ -232,9 +337,9 @@ def oracle_sql() -> dict[str, str]:
         "rel_range_join": temporal.range_join_activity_sql(),
         "rel_sessionize": temporal.sessionize_sql(),
         "udaf_value_median": udx.user_value_median_sql(),
-        # no oracle (not SQL-expressible — tokenization): extract_turns,
-        # extract_dom_turns, extract_metrics, tokens_kind_counts,
-        # display_roundtrip; plus text_distinct_approx /
+        # no oracle: extract_dom_turns (the reference stops at
+        # tokenization — no DOM twin exists; Spark≡Python parity +
+        # robustness fuzz live in pytest), text_distinct_approx /
         # text_quantiles_approx (sketch outputs — their exact twins are
-        # oracled)
+        # oracled, rank/error bounds asserted in pytest)
     }

@@ -96,5 +96,5 @@ cp "$HERE/probe_main.rs" "$BUILD_DIR/refcrate/src/bin/probe.rs"
 
 cd "$BUILD_DIR/refcrate"
 cargo build --release --offline 2>&1 | tail -3
-touch "$BUILD_DIR/protocol_v2"   # diff_runner rebuilds stale probes
+touch "$BUILD_DIR/protocol_v3"   # diff_runner rebuilds stale probes
 echo "probe: $BUILD_DIR/refcrate/target/release/probe"

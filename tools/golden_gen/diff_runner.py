@@ -21,10 +21,10 @@ PROBE = os.environ.get("REF_PROBE", "/tmp/refprobe/refcrate/target/release/probe
 BUILD_SH = os.path.join(os.path.dirname(__file__), "build_probe.sh")
 
 
-# probe protocol v2 adds state-prefixed requests; rebuild stale binaries
+# probe protocol v3 adds DISPLAY requests; rebuild stale binaries
 def ensure_probe() -> str:
     marker = os.path.join(
-        os.path.dirname(PROBE), "..", "..", "..", "protocol_v2"
+        os.path.dirname(PROBE), "..", "..", "..", "protocol_v3"
     )
     if not (os.path.exists(PROBE) and os.path.exists(os.path.normpath(marker))):
         subprocess.run(["bash", BUILD_SH], check=True, capture_output=True)
@@ -91,6 +91,13 @@ class RefProbe:
         sel.close()
         out = buf.split(b"\n", 1)[0]
         return json.loads(out), "ok"
+
+    def display(self, text: str):
+        """Return (display_string|None, status): the reference binary's own
+        ``Display`` serialization of the full token stream (probe v3
+        ``DISPLAY`` request — the output line is one JSON string, so the
+        shared request path parses it directly)."""
+        return self.tokenize(text, "DISPLAY")
 
     def close(self):
         self._kill()

@@ -1,14 +1,20 @@
 // Golden-generation probe for the reference tokenizer.
 //
-// Protocol (v2): one request per stdin line -> one JSON token array per
-// stdout line, Char runs coalesced into ["chars", data] entries (the
-// golden_tokens format from FIXTURES.md §2).  A request is either
-//   base64(UTF-8 input)                      — tokenize from Data, or
+// Protocol (v3): one request per stdin line -> one JSON value per
+// stdout line.  A request is either
+//   base64(UTF-8 input)                      — tokenize from Data ->
+//       JSON token array, Char runs coalesced into ["chars", data]
+//       entries (the golden_tokens format from FIXTURES.md §2), or
 //   STATE_NAME " " base64(UTF-8 input)       — tokenize from a content
 // entry state (RCDATA / RAWTEXT / ScriptData / PLAINTEXT / CDATASection),
-// exercising the state families unreachable from Data.  The driving
-// Python harness enforces a per-input timeout because three reference
-// states hang at EOF.
+// exercising the state families unreachable from Data, or
+//   "DISPLAY " base64(UTF-8 input)           — tokenize from Data and
+//       emit ONE JSON string: the concatenation of the reference's own
+//       `Display` serialization of every token (token.rs:20-24, 82-86,
+//       163-181, 210-222 — `format!("{}", token)`), the value truth for
+//       the display_roundtrip gate query.
+// The driving Python harness enforces a per-input timeout because three
+// reference states hang at EOF.
 //
 // This file is OUR code (committed); the reference crate itself is copied to
 // a scratch dir at build time by build_probe.sh and never enters the repo.
@@ -81,6 +87,18 @@ fn main() {
         };
         let bytes = b64decode(&b64);
         let input = String::from_utf8_lossy(&bytes).into_owned();
+        if state.as_deref() == Some("DISPLAY") {
+            let mut tok = Tokenizer::new(&input);
+            let mut disp = String::new();
+            while let Some(t) = tok.next_token() {
+                disp.push_str(&format!("{}", t));
+            }
+            let mut out = String::new();
+            jesc(&disp, &mut out);
+            let _ = writeln!(w, "{}", out);
+            let _ = w.flush();
+            continue;
+        }
         let mut tok = match &state {
             Some(s) => Tokenizer::new_in_state(&input, s),
             None => Tokenizer::new(&input),
