@@ -19,7 +19,7 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from html_parser_spark.fixtures import ensure_transcripts
-from html_parser_spark.goldens import gate_golden_parquet
+from html_parser_spark.goldens import dom_golden_parquet, gate_golden_parquet
 from html_parser_spark.operators import (
     dedup,
     multimodal,
@@ -111,8 +111,12 @@ def _extract_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dom_extract_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOM-heuristic extraction (tree builder + text-density scoring —
-    functions/domextract.py)."""
-    return run_dom_extraction(_transcripts(spark, _sf_of(sf_dir)))
+    functions/domextract.py), spans serialized like the flagship."""
+    ext = run_dom_extraction(_transcripts(spark, _sf_of(sf_dir)))
+    return ext.select(
+        *[c for c in ext.columns if c != "spans"],
+        F.to_json("spans").alias("spans_json"),
+    )
 
 
 def _extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,6 +150,30 @@ def _display_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "turn_idx",
         F.md5(display_expr(F.col("tokens"))).alias("display_md5"),
     )
+
+
+# MinHash gate wrappers: the operators default to the 128-hash/16-band
+# corpus-scale geometry (dedup.py N_HASHES/N_BANDS); the gate corpus runs
+# the explicit CI-scale 8/4 geometry so driver values stay stable and the
+# DuckDB twin doesn't inline 128 shingle expressions.
+def _gate_mh():
+    return {"n_hashes": dedup.GATE_N_HASHES, "n_bands": dedup.GATE_N_BANDS}
+
+
+def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signatures(spark, sf_dir, n_hashes=dedup.GATE_N_HASHES)
+
+
+def _minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_candidates(spark, sf_dir, **_gate_mh())
+
+
+def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard(spark, sf_dir, **_gate_mh())
+
+
+def _cluster_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_cluster_keep_list(spark, sf_dir, **_gate_mh())
 
 
 def _conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -245,6 +273,20 @@ def _display_roundtrip_oracle() -> str:
     """
 
 
+def _dom_turns_oracle() -> str:
+    """ENGINE goldens (tools/golden_gen/gen_dom_goldens.py): the reference
+    has no DOM stage, so the oracle checks the distributed Spark execution
+    against the committed single-process Python truth — value parity for
+    text, spans and block metrics."""
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR")
+    path = dom_golden_parquet(_sf_of(sf_dir) if sf_dir else 0.01)
+    return f"""
+    SELECT conv_id, turn_idx, main_text, spans_json, err_count,
+           parse_status, n_blocks, n_kept_blocks
+    FROM read_parquet('{path}')
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # flagship extraction (value-oracled vs reference-binary goldens)
@@ -257,11 +299,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deduplication family
         "dedup_exact": dedup.exact_duplicates,
         "dedup_keep_list": dedup.dedup_keep_list,
-        "dedup_minhash_signatures": dedup.minhash_signatures,
-        "dedup_minhash_candidates": dedup.minhash_candidates,
-        "dedup_ngram_jaccard": dedup.ngram_jaccard,
+        "dedup_minhash_signatures": _minhash_signatures,
+        "dedup_minhash_candidates": _minhash_candidates,
+        "dedup_ngram_jaccard": _ngram_jaccard,
         "dedup_simhash": dedup.simhash_sketches,
         "dedup_simhash_pairs": dedup.simhash_near_dups,
+        "dedup_cluster_keep_list": _cluster_keep_list,
         "dedup_embedding_cosine": similarity.embedding_near_dups,
         # similarity search
         "ann_cosine_topk": similarity.cosine_topk,
@@ -301,17 +344,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "extract_turns": _extract_turns_oracle(),
+        "extract_dom_turns": _dom_turns_oracle(),
         "extract_metrics": _extract_metrics_oracle(),
         "tokens_kind_counts": _token_kind_counts_oracle(),
         "display_roundtrip": _display_roundtrip_oracle(),
         "dedup_exact": dedup.exact_duplicates_sql(),
         "dedup_keep_list": dedup.dedup_keep_list_sql(),
-        "dedup_minhash_signatures": dedup.minhash_signatures_sql(),
-        "dedup_minhash_candidates": dedup.minhash_candidates_sql(),
-        "dedup_ngram_jaccard": dedup.ngram_jaccard_sql(),
+        "dedup_minhash_signatures": dedup.minhash_signatures_sql(
+            n_hashes=dedup.GATE_N_HASHES
+        ),
+        "dedup_minhash_candidates": dedup.minhash_candidates_sql(**_gate_mh()),
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_sql(**_gate_mh()),
         "dedup_embedding_cosine": similarity.embedding_near_dups_sql(),
         "dedup_simhash": dedup.simhash_sketches_sql(),
         "dedup_simhash_pairs": dedup.simhash_near_dups_sql(),
+        "dedup_cluster_keep_list": dedup.dedup_cluster_keep_list_sql(**_gate_mh()),
         "ann_cosine_topk": similarity.cosine_topk_sql(),
         "ann_lsh_topk": similarity.lsh_topk_sql(),
         "ann_ivf_topk": similarity.ivf_topk_sql(),
@@ -337,9 +384,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_range_join": temporal.range_join_activity_sql(),
         "rel_sessionize": temporal.sessionize_sql(),
         "udaf_value_median": udx.user_value_median_sql(),
-        # no oracle: extract_dom_turns (the reference stops at
-        # tokenization — no DOM twin exists; Spark≡Python parity +
-        # robustness fuzz live in pytest), text_distinct_approx /
-        # text_quantiles_approx (sketch outputs — their exact twins are
-        # oracled, rank/error bounds asserted in pytest)
+        # no oracle: text_distinct_approx / text_quantiles_approx only
+        # (sketch outputs — their exact twins are oracled, rank/error
+        # bounds asserted in pytest)
     }

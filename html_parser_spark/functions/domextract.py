@@ -47,10 +47,11 @@ DEFAULT_MAX_LINK_DENSITY = 0.5
 
 
 class _Block:
-    __slots__ = ("parts", "link_chars", "tags", "boiler", "drop")
+    __slots__ = ("parts", "spans", "link_chars", "tags", "boiler", "drop")
 
     def __init__(self, boiler: bool, drop: bool):
         self.parts: list[str] = []
+        self.spans: list = []  # (start, end) source ranges of the parts
         self.link_chars = 0
         self.tags = 0
         self.boiler = boiler
@@ -79,6 +80,10 @@ def _segment(
     for child in el.children:
         if isinstance(child, str):
             cur.parts.append(child)
+            # Text nodes carry the tokenizer's source ranges (treebuilder
+            # .Text) — the DOM path's provenance, same spans contract as
+            # the flagship; golden streams without offsets contribute none
+            cur.spans.extend(getattr(child, "spans", ()))
             if in_link:
                 cur.link_chars += len(child)
             continue
@@ -121,6 +126,7 @@ def score_blocks(doc: Element) -> list[dict]:
         out.append(
             {
                 "text": text,
+                "spans": list(b.spans),
                 "n_chars": n,
                 "n_tags": b.tags,
                 "text_density": n / (1.0 + b.tags),
@@ -138,10 +144,11 @@ def dom_extract(
     min_text_density: float = DEFAULT_MIN_TEXT_DENSITY,
     max_link_density: float = DEFAULT_MAX_LINK_DENSITY,
 ) -> dict:
-    """Parse + tree-build + score.  Returns main_text, block counts and
-    the tokenizer pass's status/err (same contract keys as
-    :func:`extract.extract` minus spans — DOM blocks have no single
-    source range once the tree is normalized)."""
+    """Parse + tree-build + score.  Returns the same contract keys as
+    :func:`extract.extract`: ``spans`` are the source character ranges of
+    the tokenizer runs that landed in kept blocks, in document order —
+    provenance offsets into the RAW input (the block text itself is
+    whitespace-normalized, so spans locate, they don't slice)."""
     doc, status, err = parse_html(text)
     blocks = score_blocks(doc)
     kept = [
@@ -151,8 +158,12 @@ def dom_extract(
         and b["link_density"] < max_link_density
         and b["text_density"] >= min_text_density
     ]
+    spans: list = []
+    for b in kept:
+        spans.extend(b["spans"])
     return {
         "main_text": "\n".join(b["text"] for b in kept),
+        "spans": spans,
         "err_count": err,
         "parse_status": status,
         "n_blocks": len(blocks),

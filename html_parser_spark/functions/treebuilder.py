@@ -84,6 +84,22 @@ _LIST_SCOPE_EXTRA = frozenset(["ol", "ul"])
 MARKER = object()  # active-formatting-elements marker sentinel
 
 
+class Text(str):
+    """A text node: a plain ``str`` (so every ``isinstance(child, str)``
+    site and the html5lib-style dump behave unchanged) that additionally
+    carries the source character ranges of the tokenizer runs that
+    produced it — the provenance the flagship's ``spans`` contract
+    exposes (pipeline.py SPAN schema), now threaded through the DOM path
+    too (VERDICT r02 item 5)."""
+
+    __slots__ = ("spans",)
+
+    def __new__(cls, s: str, spans=()):
+        t = super().__new__(cls, s)
+        t.spans = list(spans)
+        return t
+
+
 class Element:
     __slots__ = ("tag", "attrs", "children", "parent")
 
@@ -146,12 +162,16 @@ class TreeBuilder:
         self.open_elements.append(el)
         return el
 
-    def _insert_text(self, data: str) -> None:
+    def _insert_text(self, data: str, span=None) -> None:
         cur = self.current()
+        spans = [span] if span is not None else []
         if cur.children and isinstance(cur.children[-1], str):
-            cur.children[-1] += data
+            prev = cur.children[-1]
+            cur.children[-1] = Text(
+                str(prev) + data, [*getattr(prev, "spans", ()), *spans]
+            )
         else:
-            cur.children.append(data)
+            cur.children.append(Text(data, spans))
 
     def _pop_until(self, tag: str) -> None:
         while self.open_elements:
@@ -385,7 +405,9 @@ class TreeBuilder:
         for tok in tokens:
             kind = tok[0]
             if kind == "chars":
-                self._chars(tok[1])
+                # our tokenizer's runs carry (start, end) source offsets;
+                # reference-golden streams (["chars", data]) don't
+                self._chars(tok[1], (tok[2], tok[3]) if len(tok) > 3 else None)
             elif kind == "start":
                 self._start(tok[1], tok[2], tok[3])
             elif kind == "end":
@@ -398,12 +420,12 @@ class TreeBuilder:
                 break
         return self.document
 
-    def _chars(self, data: str) -> None:
+    def _chars(self, data: str, span=None) -> None:
         if self.mode == "in_head_real":
             # inside an open head element (title/style/…): text belongs
             # to it (the tokenizer delivers RAWTEXT-ish content as
             # ordinary tokens — reference topology)
-            self._insert_text(data)
+            self._insert_text(data, span)
             return
         if self.mode != "in_body":
             # whitespace before body structure is dropped (spec: ignored
@@ -412,7 +434,7 @@ class TreeBuilder:
                 return
             self._ensure_body()
         self._reconstruct_formatting()
-        self._insert_text(data)
+        self._insert_text(data, span)
 
     def _start(self, tag: str, attrs, self_closing: bool) -> None:
         if tag == "html":

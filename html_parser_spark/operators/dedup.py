@@ -32,8 +32,21 @@ from pyspark.sql.types import StringType
 
 from ..functions.textnorm import ascii_words
 
-N_HASHES = 8
-N_BANDS = 4  # rows per band = N_HASHES // N_BANDS = 2
+# Default MinHash geometry (VERDICT r02 item 4): 128 hashes / 16 bands
+# (r=8 rows per band) — the classic corpus-dedup operating point: band
+# collision probability J^r gives an S-curve centered near J≈(1/16)^(1/8)
+# ≈ 0.71 with ~0.4% collision rate at J=0.4, so candidate volume stays
+# near-linear at 10^9+ docs.  The gate corpus runs the explicit CI-scale
+# geometry below instead (tiny corpus, and the DuckDB twin would inline
+# 128 shingle expressions).
+N_HASHES = 128
+N_BANDS = 16
+
+# CI/gate-scale geometry: 8/4 (r=2) — shallow S-curve, fine for a
+# 500-doc fixture where candidate explosion cannot happen; passed
+# EXPLICITLY by the driver-contract wrappers so gate values are stable.
+GATE_N_HASHES = 8
+GATE_N_BANDS = 4
 
 
 def _norm():
@@ -98,7 +111,9 @@ SHINGLES_SQL = f"""
 """
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_signatures(
+    spark: SparkSession, sf_dir: str, n_hashes: int = N_HASHES
+) -> DataFrame:
     """Per-doc MinHash signature: for seed s, min over shingles of
     md5('s|' || shingle) — md5-hex min is a valid exchangeable hash family
     and is bit-identical in DuckDB."""
@@ -108,24 +123,28 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(
             F.transform(sh, lambda x: F.md5(F.concat(F.lit(f"{s}|"), x)))
         ).alias(f"mh{s}")
-        for s in range(N_HASHES)
+        for s in range(n_hashes)
     ]
     return docs.select("doc_id", *cols)
 
 
-def minhash_signatures_sql(table: str = "documents") -> str:
+def minhash_signatures_sql(
+    table: str = "documents", n_hashes: int = N_HASHES
+) -> str:
     cols = ",\n           ".join(
         f"list_min(list_transform({SHINGLES_SQL}, x -> md5('{s}|' || x))) AS mh{s}"
-        for s in range(N_HASHES)
+        for s in range(n_hashes)
     )
     return f"SELECT doc_id,\n           {cols}\nFROM {table}"
 
 
-def minhash_band_keys(sig: DataFrame) -> DataFrame:
+def minhash_band_keys(
+    sig: DataFrame, n_hashes: int = N_HASHES, n_bands: int = N_BANDS
+) -> DataFrame:
     """Signature → (doc_id, band, band_key); band_key = md5 of the band's
     concatenated min-hashes.  Self-join on (band, band_key) yields LSH
     candidates."""
-    rows_per_band = N_HASHES // N_BANDS
+    rows_per_band = n_hashes // n_bands
     bands = F.array(
         *[
             F.struct(
@@ -137,7 +156,7 @@ def minhash_band_keys(sig: DataFrame) -> DataFrame:
                     )
                 ).alias("band_key"),
             )
-            for b in range(N_BANDS)
+            for b in range(n_bands)
         ]
     )
     return sig.select("doc_id", F.explode(bands).alias("bk")).select(
@@ -145,15 +164,22 @@ def minhash_band_keys(sig: DataFrame) -> DataFrame:
     )
 
 
-def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_candidates(
+    spark: SparkSession,
+    sf_dir: str,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
     """LSH candidate pairs (doc_a < doc_b) — docs sharing ≥1 band key.
 
     The explicit repartition on the join key makes both self-join sides
     share ONE exchange, so the expensive signature computation
-    (normalize + shingle + N_HASHES md5-mins per doc) runs once instead
+    (normalize + shingle + n_hashes md5-mins per doc) runs once instead
     of once per side — measured 2.0× on sf0.1 (13.2 s → 6.3 s, ABAB);
     without it each side's scan recomputes the signatures."""
-    keys = minhash_band_keys(minhash_signatures(spark, sf_dir)).repartition(
+    keys = minhash_band_keys(
+        minhash_signatures(spark, sf_dir, n_hashes), n_hashes, n_bands
+    ).repartition(
         int(
             spark.conf.get("spark.sql.shuffle.partitions")
         ),
@@ -176,16 +202,20 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_candidates_sql(table: str = "documents") -> str:
-    sig = minhash_signatures_sql(table)
-    rows_per_band = N_HASHES // N_BANDS
+def minhash_candidates_sql(
+    table: str = "documents",
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+) -> str:
+    sig = minhash_signatures_sql(table, n_hashes)
+    rows_per_band = n_hashes // n_bands
     band_structs = ", ".join(
         "{'band': %d, 'band_key': md5(%s)}"
         % (
             b,
             " || '|' || ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band)),
         )
-        for b in range(N_BANDS)
+        for b in range(n_bands)
     )
     return f"""
     WITH sig AS ({sig}),
@@ -199,14 +229,20 @@ def minhash_candidates_sql(table: str = "documents") -> str:
     """
 
 
-def ngram_jaccard(spark: SparkSession, sf_dir: str, threshold: float = 0.0) -> DataFrame:
+def ngram_jaccard(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.0,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
     """Exact shingle-set Jaccard for LSH candidate pairs (verification
     stage of MinHash dedup).  Only bucket collisions are scored — never
     the full cross product."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", _shingles().alias("sh")
     )
-    cand = minhash_candidates(spark, sf_dir)
+    cand = minhash_candidates(spark, sf_dir, n_hashes, n_bands)
     j = (
         cand.join(docs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
         .join(docs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
@@ -225,9 +261,13 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str, threshold: float = 0.0) -> D
     )
 
 
-def ngram_jaccard_sql(table: str = "documents") -> str:
+def ngram_jaccard_sql(
+    table: str = "documents",
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+) -> str:
     return f"""
-    WITH cand AS ({minhash_candidates_sql(table)}),
+    WITH cand AS ({minhash_candidates_sql(table, n_hashes, n_bands)}),
     sh AS (SELECT doc_id, {SHINGLES_SQL} AS s FROM {table})
     SELECT c.doc_a, c.doc_b,
            CAST(floor(len(list_intersect(a.s, b.s)) * 1.0 /
@@ -388,6 +428,143 @@ def simhash_near_dups_sql(table: str = "documents", max_hamming: int = 3) -> str
     SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
     FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
     ORDER BY doc_a, doc_b
+    """
+
+
+# ------------------------------------------------- cluster resolution
+#
+# VERDICT r02 item 3: candidate *pairs* alone don't dedupe anything —
+# every production dedup ends with connected components over the pair
+# graph and a per-cluster representative.
+
+
+def near_dup_edges(
+    spark: SparkSession,
+    sf_dir: str,
+    jaccard_threshold: float = 0.5,
+    max_hamming: int = 3,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """Verified near-duplicate edges (doc_a < doc_b): MinHash-LSH
+    candidates that PASS the exact-Jaccard verify stage, unioned with
+    SimHash pairs within ``max_hamming``.  Never raw LSH collisions —
+    clustering unverified candidates glues false-positive bridges
+    between unrelated groups, and a single bad edge merges two clusters
+    irreversibly."""
+    mh = ngram_jaccard(
+        spark, sf_dir, threshold=jaccard_threshold,
+        n_hashes=n_hashes, n_bands=n_bands,
+    ).select("doc_a", "doc_b")
+    sh = simhash_near_dups(spark, sf_dir, max_hamming=max_hamming).select(
+        "doc_a", "doc_b"
+    )
+    return mh.unionByName(sh).distinct()
+
+
+def dedup_cluster_keep_list(
+    spark: SparkSession,
+    sf_dir: str,
+    max_iter: int = 25,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """Near-dup cluster resolution: connected components over the verified
+    edge graph by iterative min-label propagation, then one row per
+    document: ``(doc_id, cluster_id, is_keeper)`` where ``cluster_id`` is
+    the component's minimum doc_id and ``is_keeper`` marks the kept
+    representative (singletons keep themselves).
+
+    Scale shape: the iterated state is only ``(doc_id, cluster_id)`` —
+    never text — and each round is one equi join + one map-side-combinable
+    min-aggregation, both shuffling on doc_id; rounds converge in
+    O(graph diameter) (near-dup components are dense and shallow — LSH
+    collision graphs have tiny diameters; a pathological chain corpus
+    would want the large-star/small-star pointer-doubling variant, which
+    keeps the same per-round join shape).  Convergence is checked with a
+    count on the changed-label frame — the only driver-side value per
+    round; edges and labels are persisted so no round recomputes the
+    signature pipelines."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    edges = near_dup_edges(spark, sf_dir, n_hashes=n_hashes, n_bands=n_bands)
+    return connected_components(docs, edges, max_iter)
+
+
+def connected_components(
+    docs: DataFrame, edges: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Min-label propagation over ``edges`` (doc_a, doc_b undirected);
+    returns ``(doc_id, cluster_id, is_keeper)`` for every row of
+    ``docs`` (singletons keep themselves)."""
+    adj = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .persist()
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).persist()
+    for _ in range(max_iter):
+        neighbor_min = adj.join(
+            labels, adj["dst"] == labels["doc_id"]
+        ).select(F.col("src").alias("doc_id"), "cluster_id")
+        new_labels = (
+            labels.unionByName(neighbor_min)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .persist()
+        )
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), "doc_id")
+            .filter(F.col("o.cluster_id") != F.col("n.cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iter} rounds — "
+            "component diameter exceeds the bound; use pointer doubling"
+        )
+    adj.unpersist()
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_keeper"),
+    ).orderBy("doc_id")
+
+
+def dedup_cluster_keep_list_sql(
+    table: str = "documents",
+    jaccard_threshold: float = 0.5,
+    max_hamming: int = 3,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+) -> str:
+    """DuckDB twin: the same verified edge set, transitive closure via a
+    recursive CTE, min reachable id per document."""
+    jac_bp = int(jaccard_threshold * 10000)
+    return f"""
+    WITH RECURSIVE
+    jac AS ({ngram_jaccard_sql(table, n_hashes, n_bands)}),
+    shp AS ({simhash_near_dups_sql(table, max_hamming)}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard_bp >= {jac_bp}
+      UNION SELECT doc_b, doc_a FROM jac WHERE jaccard_bp >= {jac_bp}
+      UNION SELECT doc_a, doc_b FROM shp
+      UNION SELECT doc_b, doc_a FROM shp
+    ),
+    reach(doc_id, r) AS (
+      SELECT doc_id, doc_id FROM {table}
+      UNION
+      SELECT rc.doc_id, e.dst FROM reach rc JOIN edges e ON e.src = rc.r
+    )
+    SELECT doc_id, min(r) AS cluster_id,
+           CAST(CASE WHEN min(r) = doc_id THEN 1 ELSE 0 END AS INT) AS is_keeper
+    FROM reach GROUP BY doc_id ORDER BY doc_id
     """
 
 

@@ -199,6 +199,7 @@ def run_extraction(
 DOM_EXTRACT_SCHEMA = StructType(
     [
         StructField("main_text", StringType()),
+        StructField("spans", ArrayType(SPAN)),
         StructField("err_count", IntegerType()),
         StructField("parse_status", StringType()),
         StructField("n_blocks", IntegerType()),
@@ -212,19 +213,22 @@ _DOM_COLS = [f.name for f in DOM_EXTRACT_SCHEMA.fields]
 @pandas_udf(DOM_EXTRACT_SCHEMA)
 def dom_extract_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
     """SCALAR_ITER pandas UDF over the DOM-heuristic extraction
-    (functions/domextract.py: tree builder + text-density scoring)."""
+    (functions/domextract.py: tree builder + text-density scoring).
+    ``spans`` carries the same provenance contract as the flagship
+    (source ranges of the text runs in kept blocks)."""
     from ..functions.domextract import dom_extract
 
     for texts in batches:
         rows = []
         for t in texts:
             if t is None:
-                rows.append(("", 0, "null_input", 0, 0))
+                rows.append(("", [], 0, "null_input", 0, 0))
                 continue
             r = dom_extract(t)
             rows.append(
                 (
                     r["main_text"],
+                    [(s[0], s[1]) for s in r["spans"]],
                     r["err_count"],
                     r["parse_status"],
                     r["n_blocks"],

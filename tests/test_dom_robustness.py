@@ -60,12 +60,18 @@ def test_dom_extract_total(s):
     r = dom_extract(s)
     assert set(r) == {
         "main_text",
+        "spans",
         "err_count",
         "parse_status",
         "n_blocks",
         "n_kept_blocks",
     }
     assert r["n_kept_blocks"] <= r["n_blocks"]
+    # spans are in-bounds, ordered source ranges of the raw input
+    for start, end in r["spans"]:
+        assert 0 <= start <= end <= len(s)
+    if not r["main_text"]:
+        assert r["spans"] == []
 
 
 @given(st.binary(min_size=0, max_size=400))

@@ -50,7 +50,13 @@ def test_row_level_equality_vs_pure_python(transcripts, extracted):
 
 def test_plan_shape(transcripts):
     """Scan must prune to the 3 needed columns; UDF must run on the Arrow
-    path; exactly one exchange (the salted repartition)."""
+    path; exactly one exchange (the salted repartition).
+
+    clearCache first: if an earlier test persisted a matching plan
+    subtree (the entry-contract frame cache does), Spark substitutes an
+    InMemoryRelation whose stored plan text carries its own Exchange —
+    the assertion is about the FRESH plan."""
+    transcripts.sparkSession.catalog.clearCache()
     plan = run_extraction(transcripts)._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan
     assert plan.count("Exchange") == 1
@@ -64,6 +70,7 @@ def test_dom_plan_shape(transcripts):
     scan, one exchange, Arrow UDF path."""
     from html_parser_spark.operators.pipeline import run_dom_extraction
 
+    transcripts.sparkSession.catalog.clearCache()  # see test_plan_shape
     plan = (
         run_dom_extraction(transcripts)
         ._jdf.queryExecution()
