@@ -429,16 +429,56 @@ def embedding_near_dups_sql(table: str = "embeddings", threshold: float = 0.9) -
 # ------------------------------------------------------- IVF (coarse cells)
 
 
-def _centroids(dim: int, k: int, seed: int = 777):
-    """Deterministic data-independent coarse quantizer (seeded normal
-    centroids).  A real deployment trains k-means; fixed centroids keep
-    the operator training-free and the DuckDB oracle exact — the
-    candidate-generation *shape* (cell assign → probe → rescore) is the
-    IVF structure either way."""
-    import numpy as np
+_KMEANS_CACHE: dict = {}
 
+
+def trained_centroids(
+    sf_dir: str,
+    dim: int = EMB_DIM,
+    k: int = 16,
+    seed: int = 777,
+    sample: int = 4096,
+    iters: int = 10,
+):
+    """Deterministic k-means coarse quantizer (VERDICT r02 item 6 — the
+    round-2 seeded-normal stand-in couldn't adapt cells to the data
+    distribution, which is the entire point of IVF).
+
+    Lloyd's algorithm on the driver over a fixed sample (the first
+    ``sample`` vec_ids — deterministic, no shuffling), k-means++-free
+    seeded init drawn from the sample itself, a fixed iteration count,
+    empty cells keep their previous centroid.  Centroids are a MODEL
+    artifact (k·dim doubles): training must be engine-independent because
+    the same literals are inlined into the Spark plan and the DuckDB
+    VALUES twin.  At 10^9+ vectors the sample is still a driver-sized
+    read (k-means on ~10^4 rows trains a 16..65536-cell quantizer fine;
+    scikit-style minibatch or k-means‖ would slot in here unchanged —
+    only this function's body, never the query shape, depends on the
+    trainer)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    key = (sf_dir, dim, k, seed, sample, iters)
+    if key in _KMEANS_CACHE:
+        return _KMEANS_CACHE[key]
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    order = np.argsort(t.column("vec_id").to_numpy(), kind="stable")[:sample]
+    x = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)[order]
+    if x.shape[1] != dim:
+        raise ValueError(f"embedding dim {x.shape[1]} != expected {dim}")
     rng = np.random.default_rng(seed)
-    return rng.standard_normal((k, dim))
+    cents = x[rng.choice(len(x), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # ties → lowest cell, deterministic
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    _KMEANS_CACHE[key] = cents
+    return cents
 
 
 def _sq_dist(a, b):
@@ -474,7 +514,7 @@ def ivf_topk(
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
         "embedding", _require_dim(F.col("embedding"), dim)
     )
-    cents = _centroids(dim, n_cells, seed)
+    cents = trained_centroids(sf_dir, dim, n_cells, seed)
     # cell assignment as ONE inline expression (sorted array of
     # per-centroid (distance, cell) structs — lexicographic struct sort
     # gives the (d, cell) tie-break): zero joins, zero shuffles — a
@@ -540,10 +580,20 @@ def ivf_topk_sql(
     nprobe: int = 4,
     seed: int = 777,
     dim: int = EMB_DIM,
+    sf_dir: str | None = None,
 ) -> str:
-    """DuckDB twin: the same centroid table as VALUES rows, the same
-    argmin assignment / nprobe probing / quantized rescore."""
-    cents = _centroids(dim, n_cells, seed)
+    """DuckDB twin: the same TRAINED centroid table as VALUES rows
+    (trained_centroids is deterministic, so both engines inline
+    bit-identical double literals), the same argmin assignment / nprobe
+    probing / quantized rescore.  ``sf_dir`` defaults to the harness's
+    SPARK_GRAFT_TEST_SF_DIR (driver gate: sf0.01) — it must point at the
+    same embeddings the pre-registered ``embeddings`` view reads."""
+    import os
+
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01"
+    )
+    cents = trained_centroids(sf_dir, dim, n_cells, seed)
     values = ",\n      ".join(
         "(%d, [%s]::DOUBLE[])" % (i, ", ".join(repr(float(v)) for v in c))
         for i, c in enumerate(cents)

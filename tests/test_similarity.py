@@ -69,9 +69,15 @@ def test_near_dups_plan_has_no_nested_loop(spark):
 
 
 def test_ivf_topk_recall_vs_brute_force(spark):
-    """IVF with nprobe=4 of 16 cells probes ~25% of random-vector space;
-    assert a sane recall floor and exact agreement on values for the
-    neighbors it does return."""
+    """Trained-quantizer IVF at nprobe=4 of 16 cells: assert a recall
+    floor ABOVE what degenerate cells could fake, and exact agreement on
+    rescore values for the neighbors it returns.
+
+    (Round-2's seeded-normal centroids measured recall 50/50 — but only
+    because assignment collapsed to 3 occupied cells and nprobe=4 scanned
+    100% of the corpus: brute force in disguise.  The trained index scans
+    ~26% — see test_ivf_cells_balanced — so recall here is a real
+    pruned-search figure, floor set from measured 32/50.)"""
     from html_parser_spark.operators.similarity import cosine_topk, ivf_topk
 
     sf = "/root/testdata/sf0.01"
@@ -88,4 +94,27 @@ def test_ivf_topk_recall_vs_brute_force(spark):
             if n_id in ivf.get(q, {}):
                 hits += 1
                 assert ivf[q][n_id] == bp  # same exact rescore values
-    assert hits / total >= 0.2, f"IVF recall {hits}/{total}"
+    assert hits / total >= 0.5, f"IVF recall {hits}/{total}"
+
+
+def test_ivf_cells_balanced():
+    """The trained coarse quantizer must actually partition the corpus:
+    every cell occupied, and the probed fraction at nprobe=4 near the
+    ideal 4/16 — the pruning that makes IVF an index rather than a
+    renamed brute-force scan."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from html_parser_spark.operators.similarity import trained_centroids
+
+    sf = "/root/testdata/sf0.01"
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["embedding"])
+    x = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    cents = trained_centroids(sf)
+    d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    occ = np.bincount(d2.argmin(axis=1), minlength=16)
+    assert occ.min() > 0, f"empty cells: {occ.tolist()}"
+    assert occ.max() / occ.min() < 4, f"skewed cells: {occ.tolist()}"
+    probes = np.argsort(d2[:5], axis=1)[:, :4]
+    frac = np.mean([occ[p].sum() for p in probes]) / len(x)
+    assert 0.15 < frac < 0.45, f"scanned fraction {frac:.3f}"
