@@ -112,7 +112,10 @@ def main() -> None:
         "bytes": int(n_bytes),
         "mb_per_sec": round(n_bytes / extract_sec / 1e6, 2),
         "extract_wall_sec": round(extract_sec, 3),
-        "master": args.master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        # the ACTUAL master (the session default applies the measured
+        # ~12% slot reservation, e.g. local[28] on a 32-cpu budget)
+        "master": spark.sparkContext.master,
+        "cpu_budget": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
         "parallelism": ncores,
     }
     print(json.dumps(out))

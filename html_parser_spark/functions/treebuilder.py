@@ -20,9 +20,14 @@ covering the machinery the north_star names explicitly:
   mis-nested formatting) in its spec form, bounded by the spec's outer
   (8) and inner (3) loop limits.
 
+- **foster parenting** (§13.2.6.1 appropriate-place, round 3): non-table
+  content whose current node is a table/section/row is inserted
+  immediately before the nearest open table (whitespace-only runs stay
+  inside, per the pending-table-character-tokens rule); a nested
+  ``<table>`` start closes the open table first, and ``</table>`` is
+  matched in TABLE scope (html/table/template barriers only).
+
 Deliberate simplifications (documented, deterministic):
-- no foster parenting / table fixup (transcript HTML is body-like;
-  table elements nest as written),
 - no template contents stack, no frameset-ok flag,
 - script/style/RAWTEXT contents arrive as ORDINARY markup tokens
   because the tokenizer-only reference never leaves the Data state (its
@@ -80,6 +85,9 @@ _SCOPE_BARRIER = frozenset(
 )
 _BUTTON_SCOPE_EXTRA = frozenset(["button"])
 _LIST_SCOPE_EXTRA = frozenset(["ol", "ul"])
+
+# current-node tags that trigger foster parenting for non-table content
+_FOSTER_CTX = frozenset(["table", "tbody", "thead", "tfoot", "tr"])
 
 MARKER = object()  # active-formatting-elements marker sentinel
 
@@ -156,22 +164,57 @@ class TreeBuilder:
     def current(self) -> Element:
         return self.open_elements[-1]
 
-    def _insert_element(self, tag: str, attrs=()) -> Element:
+    def _insert_location(self):
+        """§13.2.6.1 'appropriate place for inserting a node': normally
+        (current node, append); with FOSTER PARENTING when the current
+        node is a table/section/row — content that isn't table structure
+        goes immediately BEFORE the nearest open table, so ``<table>x
+        <tr><td>y`` renders "x" outside the table like browsers do.
+        Returns (parent, index|None) where None means append."""
+        cur = self.current()
+        if cur.tag in _FOSTER_CTX:
+            for el in reversed(self.open_elements):
+                if el.tag == "table":
+                    parent = el.parent
+                    if parent is not None and el in parent.children:
+                        return parent, parent.children.index(el)
+                    break  # table has no parent (shouldn't happen) → append
+        return cur, None
+
+    def _insert_element(self, tag: str, attrs=(), foster: bool = True) -> Element:
         el = Element(tag, attrs)
-        self.current().append(el)
+        # table-structure tags are never foster-parented — the spec's
+        # "in table" mode handles them structurally; fostering applies
+        # only to its "anything else" branch
+        parent, idx = (
+            self._insert_location() if foster else (self.current(), None)
+        )
+        if idx is None:
+            parent.append(el)
+        else:
+            el.parent = parent
+            parent.children.insert(idx, el)
         self.open_elements.append(el)
         return el
 
     def _insert_text(self, data: str, span=None) -> None:
-        cur = self.current()
         spans = [span] if span is not None else []
-        if cur.children and isinstance(cur.children[-1], str):
-            prev = cur.children[-1]
-            cur.children[-1] = Text(
+        if data.strip() == "" and self.current().tag in _FOSTER_CTX:
+            # spec: a whitespace-only run between table elements stays
+            # inside the table (pending-table-character-tokens rule);
+            # only runs with non-ws content are foster-parented
+            parent, pos = self.current(), len(self.current().children)
+        else:
+            parent, idx = self._insert_location()
+            pos = len(parent.children) if idx is None else idx
+        siblings = parent.children
+        if pos > 0 and isinstance(siblings[pos - 1], str):
+            prev = siblings[pos - 1]
+            siblings[pos - 1] = Text(
                 str(prev) + data, [*getattr(prev, "spans", ()), *spans]
             )
         else:
-            cur.children.append(Text(data, spans))
+            siblings.insert(pos, Text(data, spans))
 
     def _pop_until(self, tag: str) -> None:
         while self.open_elements:
@@ -185,6 +228,17 @@ class TreeBuilder:
             if el.tag == tag:
                 return True
             if el.tag in barriers:
+                return False
+        return False
+
+    def _in_table_scope(self, tag: str) -> bool:
+        """§13.2.4.2 'has an element in TABLE scope' — barriers are only
+        html/table/template (generic scope's td/th/caption barriers do
+        NOT apply, else a </table> with an open cell would be ignored)."""
+        for el in reversed(self.open_elements):
+            if el.tag == tag:
+                return True
+            if el.tag in ("html", "table", "template"):
                 return False
         return False
 
@@ -515,16 +569,16 @@ class TreeBuilder:
             # also recovers when the tokenizer's stack filter swallowed a
             # </td> left open by a dangling inline element.
             self._clear_to_table_context(("tr", "table"))
-            self._insert_element(tag, attrs)
+            self._insert_element(tag, attrs, foster=False)
             self.active_formatting.append(MARKER)
             return
         if tag == "tr":
             self._clear_to_table_context(("tbody", "thead", "tfoot", "table"))
-            self._insert_element(tag, attrs)
+            self._insert_element(tag, attrs, foster=False)
             return
         if tag in ("tbody", "thead", "tfoot", "caption", "colgroup"):
             self._clear_to_table_context(("table",))
-            self._insert_element(tag, attrs)
+            self._insert_element(tag, attrs, foster=False)
             if tag == "caption":
                 self.active_formatting.append(MARKER)
             return
@@ -541,7 +595,15 @@ class TreeBuilder:
             el = Element(tag, attrs)
             self.current().append(el)
             return
-        if tag in P_CLOSERS or tag in HEADINGS or tag == "table":
+        if tag == "table":
+            # spec "in table" <table>: a nested table start acts as
+            # </table> first, then the new table is processed (so
+            # sibling tables, never a table directly inside a table)
+            if self._in_table_scope("table"):
+                self._end("table")
+            self._insert_element(tag, attrs, foster=False)
+            return
+        if tag in P_CLOSERS or tag in HEADINGS:
             # block-level group: spec inserts WITHOUT reconstructing the
             # active formatting elements (reconstruction happens later,
             # inside the new block, when character/inline tokens arrive)
@@ -601,6 +663,13 @@ class TreeBuilder:
                 self._generate_implied_end_tags()
                 self._pop_until(tag)
                 self._clear_formatting_to_marker()
+            return
+        if tag == "table":
+            # spec "in table" </table>: pop until the table is gone —
+            # the generic path would see SPECIAL cells above it and
+            # ignore the token, leaving the table open forever
+            if self._in_table_scope("table"):
+                self._pop_until("table")
             return
         self._any_other_end_tag(tag)
 

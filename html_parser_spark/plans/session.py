@@ -17,7 +17,8 @@ spark-submit job all run the same plan shape (SURVEY.md §4.2):
 - task-slot sizing: for Python-UDF-dominated stages leave ~12% of cores
   slot-free for the JVM's shuffle/Arrow threads (measured: local[28] >
   local[32] on a 32-core box, BENCH.md) — on a cluster,
-  ``spark.executor.cores`` ≈ 0.85–0.9 × vcores.
+  ``spark.executor.cores`` ≈ 0.85–0.9 × vcores.  Applied as the DEFAULT
+  via :func:`default_task_slots` (round 3); explicit masters bypass it.
 """
 
 from __future__ import annotations
@@ -29,6 +30,19 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
+def default_task_slots(cpus: int) -> int:
+    """Task slots for a ``cpus``-core budget: reserve ~12% of cores for
+    the JVM's shuffle/Arrow/GC threads instead of saturating every core
+    with a Python worker (VERDICT r02 item 7 — ABAB-measured local[28] >
+    local[32] on the 32-core box; on a cluster the same rule is
+    ``spark.executor.cores`` ≈ 0.85–0.9 × vcores).  Small budgets are
+    left alone: the reservation only pays once worker count is large
+    enough for JVM service threads to be the contended resource."""
+    if cpus < 8:
+        return cpus
+    return max(2, cpus - max(1, round(cpus * 0.125)))
+
+
 def get_spark(
     app_name: str = "html-parser-spark",
     master: str | None = None,
@@ -36,7 +50,9 @@ def get_spark(
     max_records_per_batch: int = 4096,
     extra_conf: dict | None = None,
 ) -> SparkSession:
-    master = master or f"local[{DEFAULT_CPUS}]"
+    # an explicit master (tests, scaling harness) is honored verbatim;
+    # the default applies the measured slot reservation to the CPU budget
+    master = master or f"local[{default_task_slots(int(DEFAULT_CPUS))}]"
     shuffle_partitions = shuffle_partitions or int(DEFAULT_CPUS)
     b = (
         SparkSession.builder.appName(app_name)

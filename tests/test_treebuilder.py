@@ -358,3 +358,93 @@ def test_button_is_p_scope_barrier():
             '|           "b"',
         ]
     )
+
+
+def test_foster_parenting_text_before_table():
+    # §13.2.6.1 appropriate-place: non-ws text with current node <table>
+    # is inserted immediately BEFORE the table (round 3)
+    assert tree("<table>x<tr><td>y</td></tr></table>z") == "\n".join(
+        BODY
+        + [
+            '|     "x"',
+            "|     <table>",
+            "|       <tr>",
+            "|         <td>",
+            '|           "y"',
+            '|     "z"',
+        ]
+    )
+
+
+def test_foster_parenting_whitespace_stays_in_table():
+    # pending-table-character-tokens rule: a ws-only run stays inside
+    assert tree("<table> <tr><td>a</td></tr></table>") == "\n".join(
+        BODY
+        + [
+            "|     <table>",
+            '|       " "',
+            "|       <tr>",
+            "|         <td>",
+            '|           "a"',
+        ]
+    )
+
+
+def test_foster_parenting_block_element():
+    assert tree("<table><div>b</div><tr><td>c</td></tr></table>") == "\n".join(
+        BODY
+        + [
+            "|     <div>",
+            '|       "b"',
+            "|     <table>",
+            "|       <tr>",
+            "|         <td>",
+            '|           "c"',
+        ]
+    )
+
+
+def test_nested_table_start_closes_open_table():
+    # in-table <table>: acts as </table> then reprocesses → siblings
+    assert tree("<table><table><tr><td>n</td></tr></table>") == "\n".join(
+        BODY
+        + [
+            "|     <table>",
+            "|     <table>",
+            "|       <tr>",
+            "|         <td>",
+            '|           "n"',
+        ]
+    )
+
+
+def test_table_end_tag_pops_through_cells():
+    # </table> must close the table even with open SPECIAL cells above
+    # it.  RAW stream: the tokenizer's reference-exact stack filter drops
+    # a </table> whose most recent unclosed start tag is <td>
+    # (mod.rs:3756-3779), so this path is only reachable from unfiltered
+    # token sources — same rationale as the adoption-agency raw tests.
+    toks = [
+        S("table"), S("tr"), S("td"), C("a"),
+        ("end", "table", [], False), C("b"), ("eof",),
+    ]
+    assert raw_tree(toks) == "\n".join(
+        BODY
+        + [
+            "|     <table>",
+            "|       <tr>",
+            "|         <td>",
+            '|           "a"',
+            '|     "b"',
+        ]
+    )
+
+
+def test_foster_parented_spans_still_locate_source():
+    raw = "<table>fostered<tr><td>kept</td></tr></table>"
+    doc, status, _err = parse_html(raw)
+    body = doc.children[0].children[1]
+    fostered = body.children[0]
+    assert isinstance(fostered, str) and str(fostered) == "fostered"
+    (s, e), = fostered.spans
+    assert raw[s:e] == "fostered"
