@@ -217,19 +217,25 @@ _BOGUS_BREAK = re.compile(r"[>\x00]")
 # Notes mirroring the automaton (mod.rs:286-685):
 # - whitespace is exactly [\t\n\x0c ] (\r/\v are ordinary chars → excluded
 #   from the subset entirely so they fall back);
+# - tag names: ASCII alpha (TAG_NAME folds A-Z with +0x20 ≡ str.lower on
+#   the matched ASCII subset);
 # - attr names: lowercase start, no '=' / uppercase (folding) / NUL;
-# - values: quoted may not contain & (char-ref path) or NUL; unquoted may
-#   not start with "/'/= (before-attr-value dispatch) and breaks on
-#   [\t\n\x0c &>\x00] only;
+# - values: NUL always falls back; & inside a value is decoded by
+#   _decode_attr_value, a standalone replica of the CHAR_REF family with
+#   return_state in _ATTR_VALUE_STATES (differentially tested slow-vs-fast
+#   and vs the reference binary); unquoted may not start with "/'/=
+#   (before-attr-value dispatch) and breaks on [\t\n\x0c &>\x00], where
+#   the & continues the same value via the char-ref path — so the source
+#   span of an unquoted value is the maximal [^\t\n\x0c >\x00] run;
 # - '/' is self-closing ONLY when immediately followed by '>';
 # - end tags with attributes are inside the subset (the reference keeps
 #   them on the token).
-_VAL = r"(?:\"[^\"&\x00]*\"|'[^'&\x00]*'|[^\t\n\x0c \"'=>&\x00][^\t\n\x0c &>\x00]*)"
+_VAL = r"(?:\"[^\"\x00]*\"|'[^'\x00]*'|[^\t\n\x0c \"'=>\x00][^\t\n\x0c >\x00]*)"
 _FAST_ATTR = re.compile(
     r"([a-z][a-z0-9_:.-]*)(?:[\t\n\x0c ]*=[\t\n\x0c ]*(" + _VAL + r"))?"
 )
 _FAST_TAG = re.compile(
-    r"<(/?)([a-z][a-z0-9]*)"
+    r"<(/?)([a-zA-Z][a-zA-Z0-9]*)"
     r"((?:[\t\n\x0c ]+[a-z][a-z0-9_:.-]*"
     r"(?:[\t\n\x0c ]*=[\t\n\x0c ]*" + _VAL + r")?)*)"
     r"[\t\n\x0c ]*(/?)>"
@@ -242,6 +248,33 @@ _FAST_TAG = re.compile(
 # otherwise swallow into the comment (found by round-2 fuzz:
 # "<!-->x-->" → ref comment "" + chars "x-->", fast path said ">x")
 _FAST_COMMENT = re.compile(r"<!--([^-<\x00>][^-<\x00]*|)-->")
+
+# doctype fast path: only uppercase 'D' dispatches the keyword scan
+# (consume_doctype mod.rs:3489-3518), remaining keyword chars are
+# case-insensitive.  Both "<!DOCTYPE name>" (whitespace optional: the
+# DOCTYPE state's anything-else arm reconsumes into BEFORE_DOCTYPE_NAME)
+# and the force-quirks "<!DOCTYPE>"/"<!DOCTYPE >" forms are in the subset;
+# names are ASCII-alpha-led and folded like DOCTYPE_NAME's A-Z arm.
+_FAST_DOCTYPE = re.compile(
+    r"<!D[Oo][Cc][Tt][Yy][Pp][Ee][\t\n\x0c ]*"
+    r"(?:([a-zA-Z][a-zA-Z0-9]*)[\t\n\x0c ]*)?>"
+)
+# bogus-comment fast paths (mod.rs:688-715): "<!" followed by anything
+# that is not a comment ('-'), doctype ('D'), or CDATA ('[') dispatch
+# collects verbatim to '>' (the empty alternative is "<!>" → comment "");
+# "<?" is tag-open's '?' arm — the comment INCLUDES the '?'.  NUL bodies
+# fall back (the automaton substitutes U+FFFD there).
+_FAST_BOGUS = re.compile(r"<!([^-D\[>\x00][^>\x00]*|)>")
+_FAST_PI = re.compile(r"<(\?[^>\x00]*)>")
+# CDATA fast path (consume_cdata mod.rs:3520-3552 — case-sensitive, no
+# adjusted-current-node check): a body with no ']'/NUL is emitted raw and
+# the closing "]]>" emits nothing; bodies containing ']' fall back to the
+# CDATA_BRACKET/CDATA_END automaton arms.
+_FAST_CDATA = re.compile(r"<!\[CDATA\[([^\]\x00]*)\]\]>")
+# bulk scanner for NAMED_CHAR_REF's alpha run — ASCII subset of Rust
+# char::is_alphabetic; a run ending at a non-ASCII char needs the per-char
+# check to decide whether the run actually continues (unicode alphabetic)
+_ENT_ALPHA_RUN = re.compile(r"[A-Za-z]*")
 
 _ASCII_ALPHA = frozenset(
     "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
@@ -271,6 +304,184 @@ def _is_alphabetic(c: str) -> bool:
 def _is_alphanumeric(c: str) -> bool:
     """Rust char::is_alphanumeric ≈ Alphabetic ∪ N*."""
     return c.isalnum() or unicodedata.category(c) == "Nl"
+
+
+def _numeric_ref_char(code: int) -> str:
+    """NUMERIC_CHAR_REF_END's code→char mapping (mod.rs:1048-1095):
+    0 / >0x10FFFF / surrogate / noncharacter → U+FFFD; CR and non-
+    whitespace controls remapped via the reference's incomplete C1
+    table.  The guard clauses are mutually exclusive with the remap
+    (U+FFFD is none of CR/control), so elif ≡ the reference's
+    sequential ifs."""
+    if (
+        code == 0x00
+        or code > 0x10FFFF
+        or is_numeric_surrogate(code)
+        or is_numeric_noncharacter(code)
+    ):
+        code = 0xFFFD
+    elif code == 0x0D or (
+        is_numeric_control(code) and not is_numeric_whitespace(code)
+    ):
+        code = replace_control(code)
+    try:
+        return chr(code)
+    except ValueError:
+        return REPLACEMENT
+
+
+def _decode_attr_value(s: str) -> str:
+    """Char-reference decoding for one complete attribute value, exactly
+    as the automaton behaves with return_state in _ATTR_VALUE_STATES
+    (CHAR_REF family, mod.rs:718-1095).
+
+    Called by the whole-tag fast path when a captured value contains '&'.
+    Caller guarantees: no NUL, and no value-terminator char inside ``s``
+    (the closing quote for quoted values; [\\t\\n\\x0c >] for unquoted) —
+    so end-of-``s`` behaves as "break and reprocess the terminator",
+    modeled here as a virtual '\"' (non-alpha / non-digit / non-';' /
+    non-'=' in every branch, which is all the automaton inspects).  EOF
+    quirks cannot trigger: in the matched subset the tag's '>' always
+    exists beyond the value.
+
+    Reference quirks replicated (pinned slow-vs-fast by
+    tests/test_tokenizer.py::test_attr_value_charref_fast_matches_slow
+    and against the reference binary by the differential suite):
+      - '&' followed by neither '#' nor alphanumeric is DROPPED
+        (CHAR_REF's anything-else arm reconsumes without flushing
+        temp_buf, mod.rs:718-749);
+      - named references consume Unicode-ALPHABETIC chars only — digits
+        break the scan, so e.g. "&frac12;" never matches;
+      - the historical rule: a matched name followed by '=' or an
+        alphanumeric is flushed raw (mod.rs:822-824);
+      - NAMED_CHAR_REF's MAX_POSSIBLE loop cap: on exhaustion the last
+        consumed char stays in the raw flush AND is reprocessed;
+      - numeric references: u32 wraparound accumulation and the
+        _numeric_ref_char mapping; "&#"/"&#x" with no digits flush raw
+        (keeping the x/X case).
+    """
+    out: list = []
+    push = out.append
+    i = 0
+    L = len(s)
+    while True:
+        j = s.find("&", i)
+        if j < 0:
+            push(s[i:])
+            break
+        if j > i:
+            push(s[i:j])
+        i = j + 1
+        c = s[i] if i < L else '"'
+        if c == "#":
+            i += 1
+            c = s[i] if i < L else '"'
+            if c == "x" or c == "X":
+                x = c
+                i += 1
+                c = s[i] if i < L else '"'
+                if c in _ASCII_HEX:
+                    code = 0
+                    while i < L:
+                        c = s[i]
+                        if c in _ASCII_DIGIT:
+                            code = (code * 16 + (ord(c) - 0x30)) & 0xFFFFFFFF
+                        elif c in _ASCII_HEX:
+                            code = (
+                                code * 16
+                                + (ord(c) - (0x37 if "A" <= c <= "F" else 0x57))
+                            ) & 0xFFFFFFFF
+                        elif c == ";":
+                            i += 1
+                            break
+                        else:
+                            break
+                        i += 1
+                    push(_numeric_ref_char(code))
+                else:
+                    # HEX_CHAR_REF_START anything-else: flush raw, reconsume
+                    push("&#" + x)
+            elif c in _ASCII_DIGIT:
+                code = 0
+                while i < L:
+                    c = s[i]
+                    if c in _ASCII_DIGIT:
+                        code = (code * 10 + (ord(c) - 0x30)) & 0xFFFFFFFF
+                    elif c == ";":
+                        i += 1
+                        break
+                    else:
+                        break
+                    i += 1
+                push(_numeric_ref_char(code))
+            else:
+                # DEC_CHAR_REF_START anything-else: flush raw, reconsume
+                push("&#")
+        elif (
+            "a" <= c <= "z" or "A" <= c <= "Z" or "0" <= c <= "9"
+        ) or _is_alphanumeric(c):
+            # NAMED_CHAR_REF — bulk-scan the ASCII-alpha run; per-char
+            # continuation only when it ends at a unicode-alphabetic char
+            m = _ENT_ALPHA_RUN.match(s, i)
+            e = m.end()
+            if e - i >= MAX_POSSIBLE:
+                # loop cap: exactly MAX_POSSIBLE chars consumed; the last
+                # stays in the raw flush AND is reprocessed (reference
+                # quirk).  A 34-char buffer is never in ENTITIES and its
+                # breaking char is alphabetic (historical rule) — raw
+                # either way.
+                e = i + MAX_POSSIBLE
+                push("&" + s[i:e])
+                i = e - 1
+                continue
+            b = s[e] if e < L else None
+            if b == ";":
+                name = "&" + s[i:e] + ";"
+                cur = ";"
+                i = e + 1
+            elif b is not None and _is_alphabetic(b):
+                # rare: unicode-alphabetic continuation — per-char scan
+                buf = ["&", s[i:e]]
+                bpush = buf.append
+                cur = '"'
+                k = e - i
+                i = e
+                while k < MAX_POSSIBLE:
+                    if i < L:
+                        c = s[i]
+                        i += 1
+                    else:
+                        cur = '"'  # virtual terminator, nothing consumed
+                        break
+                    if c == ";":
+                        bpush(c)
+                        cur = c  # ';' is consumed either way
+                        break
+                    if _is_alphabetic(c):
+                        bpush(c)
+                    else:
+                        cur = c
+                        i -= 1  # reconsumed by the attr-value state
+                        break
+                    k += 1
+                else:
+                    # loop cap: kept in buf AND reprocessed
+                    cur = c
+                    i -= 1
+                name = "".join(buf)
+            else:
+                name = "&" + s[i:e]
+                cur = b if b is not None else '"'
+                i = e
+            entity = ENTITIES.get(name)
+            if entity is not None and cur != "=" and not _is_alphanumeric(cur):
+                push(entity)
+            else:
+                # not found, or the historical '='/alnum rule: flush raw
+                push(name)
+        # anything else (incl. end-of-value): the '&' is DROPPED —
+        # CHAR_REF reconsumes without flushing temp_buf
+    return "".join(out)
 
 
 def tokenize(text: str, initial_state: int = DATA):
@@ -413,6 +624,172 @@ def tokenize(text: str, initial_state: int = DATA):
         out(("eof",))
         done = True
 
+    def data_char_ref(j: int) -> int:
+        """Inline equivalent of '&' in DATA: CHAR_REF → NAMED/NUMERIC →
+        ... → back to DATA, with return_state == DATA (mod.rs:718-1095).
+        ``j`` is the '&' source index; returns the resume position (the
+        automaton's effective next-consume index after the reference,
+        accounting for reconsume).  Exactly mirrors the slow-path states —
+        including span endpoints (named refs include the breaking char in
+        the span end; numeric refs exclude it), the dropped lone '&', the
+        byte-domain prefix fallback with its PANIC flag, the MAX_POSSIBLE
+        loop-cap reprocess, AMBIGUOUS_AMPERSAND, and the '&#x'-at-EOF
+        swallow.  Pinned slow-vs-fast by test_tokenizer.py and vs the
+        reference binary by the differential suite."""
+        nonlocal status
+        i = j + 1
+        c = text[i] if i < n else None
+        if c == "#":
+            i += 1
+            c = text[i] if i < n else None
+            if c == "x" or c == "X":
+                x = c
+                i += 1
+                c = text[i] if i < n else None
+                if c is not None and c in _ASCII_HEX:
+                    code = 0
+                    while i < n:
+                        c = text[i]
+                        if c in _ASCII_DIGIT:
+                            code = (code * 16 + (ord(c) - 0x30)) & 0xFFFFFFFF
+                        elif c in _ASCII_HEX:
+                            code = (
+                                code * 16
+                                + (ord(c) - (0x37 if "A" <= c <= "F" else 0x57))
+                            ) & 0xFFFFFFFF
+                        elif c == ";":
+                            i += 1
+                            break
+                        else:
+                            break
+                        i += 1
+                    # NUMERIC_CHAR_REF_END span: a consumed ';' is inside
+                    # (cur_idx+1), a reconsumed breaking char is not
+                    # (cur_idx) — both equal ``i`` here because the loop
+                    # advances past ';' but not past a breaking char
+                    emit_chars(_numeric_ref_char(code), j, min(i, n))
+                    return i
+                if c is None:
+                    # HEX_CHAR_REF_START EOF quirk: reconsume WITHOUT
+                    # flushing — "&#x" at EOF is swallowed
+                    return n
+                # anything else: flush "&#x" raw (span ends at the
+                # breaking char, which is then reprocessed)
+                emit_chars("&#" + x, j, i)
+                return i
+            if c is not None and c in _ASCII_DIGIT:
+                code = 0
+                while i < n:
+                    c = text[i]
+                    if c in _ASCII_DIGIT:
+                        code = (code * 10 + (ord(c) - 0x30)) & 0xFFFFFFFF
+                    elif c == ";":
+                        i += 1
+                        break
+                    else:
+                        break
+                    i += 1
+                emit_chars(_numeric_ref_char(code), j, min(i, n))
+                return i
+            # DEC_CHAR_REF_START EOF/anything-else: flush "&#" raw
+            emit_chars("&#", j, i if i < n else n)
+            return i if i < n else n
+        if c is not None and (
+            ("a" <= c <= "z" or "A" <= c <= "Z" or "0" <= c <= "9")
+            or _is_alphanumeric(c)
+        ):
+            # NAMED_CHAR_REF — bulk-scan the ASCII-alpha run; per-char
+            # continuation only when it ends at a unicode-alphabetic char
+            m = _ENT_ALPHA_RUN.match(text, i)
+            e = m.end()
+            if e - i >= MAX_POSSIBLE:
+                # loop cap: last consumed char kept in buf AND reprocessed
+                e = i + MAX_POSSIBLE
+                name = "&" + text[i:e]
+                cur_c: str | None = name[-1]
+                i = e
+            else:
+                b = text[e] if e < n else None
+                if b == ";":
+                    name = "&" + text[i:e] + ";"
+                    cur_c = ";"
+                    i = e + 1
+                elif b is not None and _is_alphabetic(b):
+                    # rare: unicode-alphabetic continuation — per-char
+                    buf = ["&", text[i:e]]
+                    bpush = buf.append
+                    cur_c = None
+                    k = e - i
+                    i = e
+                    while k < MAX_POSSIBLE:
+                        if i < n:
+                            c = text[i]
+                            i += 1
+                        else:
+                            cur_c = None
+                            break
+                        if c == ";":
+                            bpush(c)
+                            cur_c = c
+                            break
+                        if _is_alphabetic(c):
+                            bpush(c)
+                        else:
+                            cur_c = c
+                            break
+                        k += 1
+                    else:
+                        cur_c = c  # loop cap: kept in buf AND reprocessed
+                    name = "".join(buf)
+                elif b is None:
+                    name = "&" + text[i:e]
+                    cur_c = None
+                    i = e
+                else:
+                    name = "&" + text[i:e]
+                    cur_c = b
+                    i = e + 1
+            # span end: cur_idx + 1 when a char broke the scan (even a
+            # reconsumed one), cur_idx (= n) at EOF
+            end = i if cur_c is not None else n
+            # resume: ';' consumed; a breaking char is reprocessed
+            resume = i if (cur_c == ";" or cur_c is None) else i - 1
+            entity = ENTITIES.get(name)
+            if entity is not None:
+                emit_chars(entity, j, end)
+                return resume
+            # byte-domain prefix fallback (mod.rs:839-877)
+            bbuf = name.encode("utf-8")
+            mx = MAX_WITHOUT_SEMICOLON + 1
+            if mx > len(bbuf):
+                mx = len(bbuf)
+            while mx > MIN_POSSIBLE:
+                try:
+                    prefix = bbuf[:mx].decode("utf-8")
+                except UnicodeDecodeError:
+                    status = PANIC
+                    prefix = None
+                if prefix is not None:
+                    matched = ENTITIES.get(prefix)
+                    if matched is not None:
+                        emit_chars(matched, j, end)
+                        break
+                mx -= 1
+            for index, ch in enumerate(name):
+                if index >= mx or mx == MIN_POSSIBLE:
+                    emit_chars(ch, j, end)
+            if mx != MIN_POSSIBLE:
+                return resume
+            # AMBIGUOUS_AMPERSAND: ASCII alpha only, each char its own span
+            p = resume
+            while p < n and text[p] in _ASCII_ALPHA:
+                emit_chars(text[p], p, p + 1)
+                p += 1
+            return p
+        # anything else (incl. EOF): the '&' is DROPPED — CHAR_REF
+        # reconsumes without flushing temp_buf
+        return i if c is not None else n
+
     while not done:
 
         if state == DATA:
@@ -428,23 +805,34 @@ def tokenize(text: str, initial_state: int = DATA):
                     run_push(text[pos:j])
                     run_last_end = j
                     pos = j
-                # whole-tag fast path, attempted straight at the break
-                # char (everything below is the inlined equivalent of
-                # consume → TAG_OPEN → ... → emit_current_tag for the
-                # _FAST_TAG subset; inlined because per-call overhead
-                # dominates tag-dense inputs)
-                if j < n and text[j] == "<":
-                    mt = _FAST_TAG.match(text, j)
+                # whole-construct fast paths, attempted straight at the
+                # break char, dispatched on the char after '<' (everything
+                # below is the inlined equivalent of consume → TAG_OPEN →
+                # ... for each regex's subset; inlined because per-call
+                # overhead dominates tag-dense inputs)
+                if j < n and text[j] == "<" and j + 1 < n:
+                    c2 = text[j + 1]
+                    mt = mc = None
+                    if (
+                        "a" <= c2 <= "z" or "A" <= c2 <= "Z" or c2 == "/"
+                    ):
+                        mt = _FAST_TAG.match(text, j)
+                    elif c2 == "!":
+                        mc = _FAST_COMMENT.match(text, j)
                     if mt is not None:
                         end_slash, name, g3, sc_slash = mt.group(1, 2, 3, 4)
+                        name = name.lower()  # TAG_NAME A-Z fold (+0x20)
                         attrs = []
                         if g3:
                             for am in _FAST_ATTR.finditer(g3):
                                 v = am.group(2)
                                 if v is None:
                                     v = ""
-                                elif v[0] == '"' or v[0] == "'":
-                                    v = v[1:-1]
+                                else:
+                                    if v[0] == '"' or v[0] == "'":
+                                        v = v[1:-1]
+                                    if "&" in v:
+                                        v = _decode_attr_value(v)
                                 attrs.append([am.group(1), v])
                         if sc_slash:
                             # self-closing bypasses the open-tags stack
@@ -474,7 +862,6 @@ def tokenize(text: str, initial_state: int = DATA):
                         cur = ">"
                         cur_idx = pos - 1
                         continue
-                    mc = _FAST_COMMENT.match(text, j)
                     if mc is not None:
                         if run:
                             out(("chars", "".join(run), run_first, run_last_end))
@@ -485,6 +872,81 @@ def tokenize(text: str, initial_state: int = DATA):
                         cur = ">"
                         cur_idx = pos - 1
                         continue
+                    if c2 == "!":
+                        md = _FAST_DOCTYPE.match(text, j)
+                        if md is not None:
+                            name = md.group(1)
+                            if run:
+                                out(("chars", "".join(run), run_first, run_last_end))
+                                run.clear()
+                                run_first = -1
+                            if name is None:
+                                # BEFORE_DOCTYPE_NAME '>' arm: force-quirks
+                                out(("doctype", "", None, None, True))
+                            else:
+                                out(("doctype", name.lower(), None, None, False))
+                            pos = md.end()
+                            cur = ">"
+                            cur_idx = pos - 1
+                            continue
+                        mcd = _FAST_CDATA.match(text, j)
+                        if mcd is not None:
+                            body = mcd.group(1)
+                            if body:
+                                # CDATA_SECTION emits the body raw into the
+                                # pending run (source span = body span)
+                                if not run:
+                                    run_first = mcd.start(1)
+                                run_push(body)
+                                run_last_end = mcd.end(1)
+                            pos = mcd.end()
+                            cur = ">"
+                            cur_idx = pos - 1
+                            continue
+                        mb = _FAST_BOGUS.match(text, j)
+                        if mb is not None:
+                            if run:
+                                out(("chars", "".join(run), run_first, run_last_end))
+                                run.clear()
+                                run_first = -1
+                            out(("comment", mb.group(1)))
+                            pos = mb.end()
+                            cur = ">"
+                            cur_idx = pos - 1
+                            continue
+                    elif c2 == "?":
+                        mp = _FAST_PI.match(text, j)
+                        if mp is not None:
+                            if run:
+                                out(("chars", "".join(run), run_first, run_last_end))
+                                run.clear()
+                                run_first = -1
+                            out(("comment", mp.group(1)))
+                            pos = mp.end()
+                            cur = ">"
+                            cur_idx = pos - 1
+                            continue
+                    elif (
+                        c2 != "&"
+                        and c2 != "<"
+                        and c2 != "/"
+                        and not ("a" <= c2 <= "z" or "A" <= c2 <= "Z")
+                        and not _is_alphabetic(c2)
+                    ):
+                        # TAG_OPEN anything-else: emit '<' as a character
+                        # and reprocess c2 in DATA — c2 is an ordinary char
+                        # here (not '&'/'<'), so the run just continues
+                        if not run:
+                            run_first = j
+                        run_push("<")
+                        run_last_end = j + 1
+                        pos = j + 1
+                        cur = "<"
+                        continue
+                elif j < n and text[j] == "&":  # inline char-ref, all cases
+                    pos = data_char_ref(j)
+                    cur = "&"
+                    continue
             # consume
             if recon:
                 recon = False

@@ -126,3 +126,111 @@ def test_abrupt_comment_close_not_swallowed_by_fast_path():
         ("comment", ""),
         ("chars", "x-->z"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# round-3 fast paths: each must be indistinguishable from the slow-path
+# automaton.  The slow path is forced with constructs the fast-path regex
+# subset excludes (an uppercase attribute name folds to the same token but
+# makes _FAST_TAG fail; a '\r' before '<' has no effect on the following
+# construct but is outside the data fast path's break set handling).
+
+import random
+
+from hypothesis import given, settings, strategies as st
+
+from html_parser_spark.functions.tokenizer import _decode_attr_value
+
+
+def _slow_attr_value(v: str) -> str:
+    """Ground truth: run the real automaton with an UPPERCASE attr name so
+    the whole-tag fast path can't fire; the name folds to 'q' and the
+    value is parsed by the per-char ATTR_VALUE_DQ/CHAR_REF states."""
+    toks, _, _ = tokenize('<z Q="' + v + '">')
+    assert toks[0][0] == "start" and toks[0][1] == "z"
+    return toks[0][2][0][1]
+
+
+_VALUE_ATOMS = [
+    "&amp;", "&amp", "&ampx", "&amp=", "&amp1", "&lt;", "&lt", "&gt",
+    "&notit;", "&notin;", "&no", "&" + "z" * 35 + ";", "&" + "a" * 33 + "b",
+    "&#65;", "&#x41;", "&#X41", "&#", "&#x", "&#xZ", "&#0;", "&#13;",
+    "&#128;", "&#x110000;", "&#99999999999999;", "&;", "&1;", "&é;",
+    "&aé;", "&zzé;", "&CounterClockwiseContourIntegral;", "&", "&&",
+    "/x?a=1", "&b=2", " ", "c", "=", "é",
+]
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    st.lists(st.sampled_from(_VALUE_ATOMS), min_size=0, max_size=8).map("".join)
+)
+def test_attr_value_charref_fast_matches_slow(v):
+    assert _decode_attr_value(v) == _slow_attr_value(v)
+
+
+def test_attr_value_charref_quirks_pinned():
+    # lone '&' before a non-alnum is DROPPED (CHAR_REF reconsumes without
+    # flushing temp_buf)
+    assert _decode_attr_value("a& b") == "a b"
+    assert _decode_attr_value("a&") == "a"
+    # historical rule: matched name + '='/alnum flushes raw
+    assert _decode_attr_value("x&amp=1") == "x&amp=1"
+    assert _decode_attr_value("x&amp1") == "x&amp1"
+    assert _decode_attr_value("x&amp-") == "x&-"
+    # named refs scan ALPHA only: digits break, so &frac12; never matches
+    assert _decode_attr_value("&frac12;") == "&frac12;"
+    # MAX_POSSIBLE cap: 33 chars kept raw AND the 33rd reprocessed
+    v = "&" + "a" * 40 + ";"
+    assert _decode_attr_value(v) == _slow_attr_value(v)
+    # numeric: u32 wrap, 0 → U+FFFD, C1 remap, '&#x' flushed raw
+    assert _decode_attr_value("&#0;") == "�"
+    assert _decode_attr_value("&#128;") == "€"
+    assert _decode_attr_value("&#xZ") == "&#xZ"
+
+
+def _slow_data(s: str) -> list:
+    """Pin exact expected token streams for the DATA-state fast paths.
+    The authoritative ground truth is the reference-binary differential
+    (tools/golden_gen), which covers every construct asserted below."""
+    toks, _, _ = tokenize(s)
+    return as_golden(toks)
+
+
+def test_data_fast_path_constructs_pinned():
+    # uppercase tag names fold (TAG_NAME +0x20)
+    assert _slow_data("</P>") == [["eof"]]  # dropped by the stack filter
+    toks, _, err = tokenize("<DIV CLASS=x>t</DIV>")
+    assert as_golden(toks)[0][:2] == ["start", "div"]
+    # doctype fast path: uppercase-D dispatch, name folded
+    assert _slow_data("<!DOCTYPE htML>")[0] == ["doctype", "html", None, None, False]
+    # force-quirks forms
+    assert _slow_data("<!DOCTYPE >")[0] == ["doctype", "", None, None, True]
+    assert _slow_data("<!DOCTYPE>")[0] == ["doctype", "", None, None, True]
+    # lowercase 'd' never dispatches the keyword scan → bogus comment
+    assert _slow_data("<!doctype html>")[0] == ["comment", "doctype html"]
+    # bogus comment and PI forms
+    assert _slow_data("<!foo>")[0] == ["comment", "foo"]
+    assert _slow_data("<!>")[0] == ["comment", ""]
+    assert _slow_data("<?xml?>")[0] == ["comment", "?xml?"]
+    # CDATA: body raw, terminator emits nothing
+    assert _slow_data("<![CDATA[hi]]>")[0] == ["chars", "hi"]
+    assert _slow_data("<![CDATA[]]>") == [["eof"]]
+    # '<' + ordinary char stays in the character run
+    assert _slow_data("a < b")[0] == ["chars", "a < b"]
+    # data char refs: entity, prefix fallback, ambiguous ampersand
+    assert _slow_data("&notit;")[0] == ["chars", "¬it;"]
+    assert _slow_data("a &amp; b")[0] == ["chars", "a & b"]
+    assert _slow_data("x & y")[0] == ["chars", "x  y"]  # lone '&' dropped
+    assert _slow_data("&#x2603;")[0] == ["chars", "☃"]
+
+
+def test_data_char_ref_span_endpoints():
+    """Named refs include the breaking char in the span end (cur_idx+1);
+    numeric refs exclude a reconsumed breaking char (cur_idx)."""
+    toks, _, _ = tokenize("&gt=")
+    # "&gt" matches via prefix fallback? no: full-buffer "&gt" IS in the
+    # table; '=' breaks the scan and the span end includes it
+    assert toks[0][:2] == ("chars", ">=")
+    toks, _, _ = tokenize("&#65=")
+    assert toks[0][:2] == ("chars", "A=")
