@@ -176,6 +176,14 @@ def _cluster_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_cluster_keep_list(spark, sf_dir, **_gate_mh())
 
 
+def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination at the gate's explicit 4-gram geometry —
+    the operator default is the published 8-gram operating point, but the
+    fixture corpus's vocabulary makes 8-gram contamination a 1-row signal
+    at sf0.01 (4-gram: ~27 rows — enough to value-check the join)."""
+    return dedup.decontaminate(spark, sf_dir, gram_width=4)
+
+
 def _conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandas grouped-map rollup over the transcript corpus."""
     return udx.conversation_stats(
@@ -305,6 +313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup.simhash_sketches,
         "dedup_simhash_pairs": dedup.simhash_near_dups,
         "dedup_cluster_keep_list": _cluster_keep_list,
+        "dedup_decontaminate": _decontaminate,
         "dedup_embedding_cosine": similarity.embedding_near_dups,
         # similarity search
         "ann_cosine_topk": similarity.cosine_topk,
@@ -317,6 +326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": textstats.fingerprints,
         "text_length_quantiles": textstats.length_quantiles,
         "text_distinct_counts": textstats.distinct_counts,
+        "text_ngram_topk": textstats.ngram_topk,
         "text_distinct_approx": textstats.distinct_counts_approx,
         "text_quantiles_approx": textstats.length_quantiles_approx,
         # multimodal plumbing (binary payload → mapInPandas metadata)
@@ -359,6 +369,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": dedup.simhash_sketches_sql(),
         "dedup_simhash_pairs": dedup.simhash_near_dups_sql(),
         "dedup_cluster_keep_list": dedup.dedup_cluster_keep_list_sql(**_gate_mh()),
+        "dedup_decontaminate": dedup.decontaminate_sql(gram_width=4),
         "ann_cosine_topk": similarity.cosine_topk_sql(),
         "ann_lsh_topk": similarity.lsh_topk_sql(),
         "ann_ivf_topk": similarity.ivf_topk_sql(),
@@ -369,6 +380,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprints": textstats.fingerprints_sql(),
         "text_length_quantiles": textstats.length_quantiles_sql(),
         "text_distinct_counts": textstats.distinct_counts_sql(),
+        "text_ngram_topk": textstats.ngram_topk_sql(),
         "multimodal_metadata": multimodal.payload_metadata_sql(),
         "pdf_page_text": pdfops.pdf_page_text_sql(),
         "rel_pricing_summary": relational.pricing_summary_sql(),

@@ -626,3 +626,85 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def _word_ngrams(width: int):
+    """Per-doc-DISTINCT word ``width``-grams of the normalized text as a
+    Spark column (zip_with chain — same O(words) evaluation argument as
+    _shingles); docs with fewer than ``width`` words contribute nothing."""
+    ws = F.split(_norm(), " ")
+    n = F.greatest(F.size(ws) - (width - 1), F.lit(0))
+    grams = F.slice(ws, 1, n)
+    for off in range(1, width):
+        grams = F.zip_with(
+            grams, F.slice(ws, off + 1, n), lambda x, y: F.concat_ws(" ", x, y)
+        )
+    return F.when(F.size(ws) < width, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(grams)
+    )
+
+
+def _word_ngrams_sql(width: int) -> str:
+    parts = " || ' ' || ".join(
+        f"string_split({NORM_SQL}, ' ')[i + {off + 1}]" for off in range(width)
+    )
+    return f"""
+    CASE WHEN len(string_split({NORM_SQL}, ' ')) < {width}
+         THEN []::VARCHAR[]
+         ELSE list_distinct(list_transform(
+                range(0, len(string_split({NORM_SQL}, ' ')) - {width - 1}),
+                i -> {parts}))
+    END
+    """
+
+
+def decontaminate(
+    spark: SparkSession,
+    sf_dir: str,
+    eval_modulus: int = 25,
+    gram_width: int = 8,
+) -> DataFrame:
+    """Eval-set decontamination: flag training documents that share any
+    word ``gram_width``-gram with a held-out evaluation slice (``doc_id %
+    eval_modulus == 0`` stands in for a benchmark suite — deterministic,
+    no external data).  Returns (doc_id, n_shared_grams) for contaminated
+    training docs; a real pipeline anti-joins this against the corpus.
+    The 8-gram default is the published decontamination operating point
+    (8-13 words); 3-grams collide on ordinary prose.
+
+    Plan at 100 TB: eval suites are benchmark-sized (10^3-10^6 docs), so
+    the distinct eval-gram set is BROADCAST and the training side never
+    shuffles for the join — scan → explode → broadcast hash join →
+    partial+final count per doc_id (the only exchange).  Grams are
+    per-doc-distinct, so the count is the number of distinct shared
+    grams."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    grams = _word_ngrams(gram_width)
+    is_eval = F.col("doc_id") % eval_modulus == 0
+    eval_grams = (
+        docs.filter(is_eval).select(F.explode(grams).alias("gram")).distinct()
+    )
+    train = docs.filter(~is_eval).select("doc_id", F.explode(grams).alias("gram"))
+    return (
+        train.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .orderBy("doc_id")
+    )
+
+
+def decontaminate_sql(
+    table: str = "documents", eval_modulus: int = 25, gram_width: int = 8
+) -> str:
+    grams = _word_ngrams_sql(gram_width)
+    return f"""
+    WITH ev AS (
+      SELECT DISTINCT unnest({grams}) AS gram
+      FROM {table} WHERE doc_id % {eval_modulus} = 0),
+    tr AS (
+      SELECT doc_id, unnest({grams}) AS gram
+      FROM {table} WHERE doc_id % {eval_modulus} <> 0)
+    SELECT doc_id, count(*) AS n_shared_grams
+    FROM tr JOIN ev USING (gram)
+    GROUP BY doc_id ORDER BY doc_id
+    """

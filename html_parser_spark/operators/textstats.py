@@ -289,3 +289,59 @@ def fingerprints_sql(table: str = "documents") -> str:
            length(trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS norm_len
     FROM {table}
     """
+
+
+def ngram_topk(spark: SparkSession, sf_dir: str, n_top: int = 20) -> DataFrame:
+    """Corpus-wide most-frequent word 3-grams (all occurrences — unlike
+    the dedup shingles, NOT per-doc-distinct), the staple corpus-statistics
+    pass of a pretraining pipeline (boilerplate discovery, contamination
+    spot checks).
+
+    Plan at 100 TB: scan → explode → hash aggregate with map-side partial
+    combine (one shuffle keyed on the gram) → TakeOrderedAndProject for
+    the top slice.  Ties are broken by the gram itself so the result is
+    deterministic across engines and partitionings."""
+    from .dedup import _norm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ws = F.split(_norm(), " ")
+    n = F.greatest(F.size(ws) - 2, F.lit(0))
+    tri = F.when(F.size(ws) < 3, F.array().cast("array<string>")).otherwise(
+        F.zip_with(
+            F.zip_with(
+                F.slice(ws, 1, n),
+                F.slice(ws, 2, n),
+                lambda x, y: F.concat_ws(" ", x, y),
+            ),
+            F.slice(ws, 3, n),
+            lambda x, y: F.concat_ws(" ", x, y),
+        )
+    )
+    return (
+        docs.select(F.explode(tri).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("gram"))
+        .limit(n_top)
+    )
+
+
+def ngram_topk_sql(table: str = "documents", n_top: int = 20) -> str:
+    from .dedup import NORM_SQL
+
+    return f"""
+    WITH g AS (
+      SELECT unnest(
+        CASE WHEN len(string_split({NORM_SQL}, ' ')) < 3
+             THEN []::VARCHAR[]
+             ELSE list_transform(
+                    range(0, len(string_split({NORM_SQL}, ' ')) - 2),
+                    i -> string_split({NORM_SQL}, ' ')[i + 1] || ' ' ||
+                         string_split({NORM_SQL}, ' ')[i + 2] || ' ' ||
+                         string_split({NORM_SQL}, ' ')[i + 3])
+        END) AS gram
+      FROM {table})
+    SELECT gram, count(*) AS n_occurrences
+    FROM g GROUP BY gram
+    ORDER BY n_occurrences DESC, gram LIMIT {n_top}
+    """
