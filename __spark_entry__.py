@@ -327,6 +327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_length_quantiles": textstats.length_quantiles,
         "text_distinct_counts": textstats.distinct_counts,
         "text_ngram_topk": textstats.ngram_topk,
+        "text_repetition_filters": textstats.repetition_filters,
         "text_distinct_approx": textstats.distinct_counts_approx,
         "text_quantiles_approx": textstats.length_quantiles_approx,
         # multimodal plumbing (binary payload → mapInPandas metadata)
@@ -381,6 +382,7 @@ def oracle_sql() -> dict[str, str]:
         "text_length_quantiles": textstats.length_quantiles_sql(),
         "text_distinct_counts": textstats.distinct_counts_sql(),
         "text_ngram_topk": textstats.ngram_topk_sql(),
+        "text_repetition_filters": textstats.repetition_filters_sql(),
         "multimodal_metadata": multimodal.payload_metadata_sql(),
         "pdf_page_text": pdfops.pdf_page_text_sql(),
         "rel_pricing_summary": relational.pricing_summary_sql(),

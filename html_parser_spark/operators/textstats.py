@@ -326,6 +326,218 @@ def ngram_topk(spark: SparkSession, sf_dir: str, n_top: int = 20) -> DataFrame:
     )
 
 
+def repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition quality signals per document — the
+    standard pretraining-corpus filter family (Rae et al. 2021 "Scaling
+    Language Models" §A1.1; Raffel et al. 2020 C4 heuristics):
+
+    - ``dup_line_bp``       fraction of lines that are exact duplicates
+      (all occurrences of any line appearing >1×), basis points
+    - ``dup_char_bp``       fraction of line characters inside those
+      duplicated lines
+    - ``top_bigram_cnt``    occurrence count of the most frequent word
+      2-gram (ties → lexicographically greatest gram, both engines)
+    - ``top_bigram_char_bp`` characters covered by that bigram
+      (count × gram length) over the normalized text length
+    - ``bullet_line_bp``    lines starting with ``-``/``*`` (after
+      space-ltrim)
+    - ``ellipsis_line_bp``  lines ending with ``...`` (after rtrim)
+    - ``gopher_keep``       1 iff all signals are inside the Gopher
+      operating points (<30% dup lines, <20% dup chars, <18% top-bigram
+      coverage, <90% bullets, <30% ellipses)
+
+    Scale shape: every feature is a LOCAL higher-order-function pipeline
+    over the row's own arrays — scan → project, ZERO shuffles at 100 TB
+    (per-doc stats never justify exploding 10^12 lines through an
+    exchange).  Duplicate detection is ``array_sort`` + neighbor
+    equality (O(L log L) per doc, not the naive O(L²) count-each-line),
+    and the top bigram is a single ``F.aggregate`` run-length pass over
+    the sorted bigram array.  The DuckDB twin deliberately uses the
+    opposite formulation (unnest → GROUP BY → window) so the oracle is
+    an independent derivation, not an echo."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lines = F.split("text", "\n")
+    n_lines = F.size(lines)
+    srt = F.array_sort(lines)
+    # eq[i] = 1 iff sorted[i] == sorted[i+1]  (length L-1; empty for L=1)
+    run_n = F.greatest(n_lines - 1, F.lit(0))
+    eq = F.zip_with(
+        F.slice(srt, 1, run_n),
+        F.slice(srt, 2, run_n),
+        lambda a, b: F.when(a == b, F.lit(1)).otherwise(F.lit(0)),
+    )
+    zero = F.array(F.lit(0))
+    # line i is a duplicate iff equal to its sorted predecessor OR successor
+    dup_flags = F.zip_with(
+        F.concat(zero, eq), F.concat(eq, zero), lambda a, b: F.greatest(a, b)
+    )
+    lsum = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+    )
+    n_dup = lsum(dup_flags)
+    dup_chars = lsum(
+        F.zip_with(srt, dup_flags, lambda x, fl: fl * F.length(x))
+    )
+    tot_chars = lsum(F.transform(lines, lambda x: F.length(x)))
+    bullet_cnt = F.size(
+        F.filter(
+            lines,
+            lambda l: F.startswith(F.ltrim(l), F.lit("-"))
+            | F.startswith(F.ltrim(l), F.lit("*")),
+        )
+    )
+    ellipsis_cnt = F.size(
+        F.filter(lines, lambda l: F.endswith(F.rtrim(l), F.lit("...")))
+    )
+
+    ws = F.split(_tokens_norm(), " ")
+    bi_n = F.greatest(F.size(ws) - 1, F.lit(0))
+    bigrams = F.when(
+        F.size(ws) < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.zip_with(
+            F.slice(ws, 1, bi_n),
+            F.slice(ws, 2, bi_n),
+            lambda x, y: F.concat_ws(" ", x, y),
+        )
+    )
+    # run-length max over the sorted bigram array: one linear aggregate,
+    # struct accumulator (prev, run, best, best_gram)
+    def _merge(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        better = (run > acc["best"]) | (
+            (run == acc["best"]) & (x > acc["best_gram"])
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["best"]).alias("best"),
+            F.when(better, x).otherwise(acc["best_gram"]).alias("best_gram"),
+        )
+
+    top = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+            F.lit("").alias("best_gram"),
+        ),
+        _merge,
+        lambda acc: F.struct(
+            acc["best"].alias("cnt"), acc["best_gram"].alias("gram")
+        ),
+    )
+    top_cnt = top["cnt"].cast("long")
+    top_chars = top["cnt"].cast("long") * F.length(top["gram"])
+    norm_len = F.greatest(F.length(_tokens_norm()), F.lit(1))
+
+    bp = lambda num, den: F.floor(  # noqa: E731
+        num.cast("double") * 10000.0 / F.greatest(den, F.lit(1)).cast("double")
+    ).cast("long")
+    dup_line_bp = bp(n_dup, n_lines)
+    dup_char_bp = bp(dup_chars, tot_chars)
+    top_bigram_char_bp = bp(top_chars, norm_len)
+    bullet_line_bp = bp(bullet_cnt, n_lines)
+    ellipsis_line_bp = bp(ellipsis_cnt, n_lines)
+    keep = (
+        (dup_line_bp < 3000)
+        & (dup_char_bp < 2000)
+        & (top_bigram_char_bp < 1800)
+        & (bullet_line_bp < 9000)
+        & (ellipsis_line_bp < 3000)
+    )
+    return docs.select(
+        "doc_id",
+        n_lines.cast("long").alias("n_lines"),
+        dup_line_bp.alias("dup_line_bp"),
+        dup_char_bp.alias("dup_char_bp"),
+        top_cnt.alias("top_bigram_cnt"),
+        top_bigram_char_bp.alias("top_bigram_char_bp"),
+        bullet_line_bp.alias("bullet_line_bp"),
+        ellipsis_line_bp.alias("ellipsis_line_bp"),
+        F.when(keep, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("gopher_keep"),
+    )
+
+
+def _tokens_norm():
+    """Whitespace/case-normalized text (the dedup normalizer — one
+    definition shared so bigram tokens line up with the shingle ops)."""
+    from .dedup import _norm
+
+    return _norm()
+
+
+def repetition_filters_sql(table: str = "documents") -> str:
+    """DuckDB twin via the relational formulation (unnest → GROUP BY →
+    window) — an independent derivation of the same integers."""
+    from .dedup import NORM_SQL
+
+    split = f"string_split({NORM_SQL}, ' ')"
+    return f"""
+    WITH l AS (
+      SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM {table}),
+    lc AS (
+      SELECT doc_id, line, count(*) AS cnt,
+             count(*) * length(line) AS chars
+      FROM l GROUP BY doc_id, line),
+    la AS (
+      SELECT doc_id,
+             CAST(sum(cnt) AS BIGINT) AS n_lines,
+             CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup,
+             CAST(sum(CASE WHEN cnt > 1 THEN chars ELSE 0 END) AS BIGINT) AS dup_chars,
+             CAST(sum(chars) AS BIGINT) AS tot_chars
+      FROM lc GROUP BY doc_id),
+    b AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len({split}) < 2 THEN []::VARCHAR[]
+             ELSE list_transform(range(0, len({split}) - 1),
+                                 i -> {split}[i + 1] || ' ' || {split}[i + 2])
+        END) AS gram
+      FROM {table}),
+    bc AS (SELECT doc_id, gram, count(*) AS cnt FROM b GROUP BY doc_id, gram),
+    bt AS (SELECT doc_id, gram, cnt,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY cnt DESC, gram DESC) AS rn
+           FROM bc),
+    top AS (SELECT doc_id, CAST(cnt AS BIGINT) AS top_cnt,
+                   CAST(cnt * length(gram) AS BIGINT) AS top_chars
+            FROM bt WHERE rn = 1),
+    misc AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, chr(10)),
+                 x -> starts_with(ltrim(x), '-') OR starts_with(ltrim(x), '*')))
+                 AS bullet_cnt,
+             len(list_filter(string_split(text, chr(10)),
+                 x -> ends_with(rtrim(x), '...'))) AS ellipsis_cnt,
+             greatest(length({NORM_SQL}), 1) AS norm_len
+      FROM {table}),
+    f AS (
+      SELECT d.doc_id, la.n_lines,
+             CAST(floor(la.n_dup * 10000.0 / greatest(la.n_lines, 1)) AS BIGINT)
+                 AS dup_line_bp,
+             CAST(floor(la.dup_chars * 10000.0 / greatest(la.tot_chars, 1)) AS BIGINT)
+                 AS dup_char_bp,
+             coalesce(top.top_cnt, 0) AS top_bigram_cnt,
+             CAST(floor(coalesce(top.top_chars, 0) * 10000.0 / misc.norm_len) AS BIGINT)
+                 AS top_bigram_char_bp,
+             CAST(floor(misc.bullet_cnt * 10000.0 / greatest(la.n_lines, 1)) AS BIGINT)
+                 AS bullet_line_bp,
+             CAST(floor(misc.ellipsis_cnt * 10000.0 / greatest(la.n_lines, 1)) AS BIGINT)
+                 AS ellipsis_line_bp
+      FROM {table} d
+      JOIN la USING (doc_id)
+      LEFT JOIN top USING (doc_id)
+      JOIN misc ON misc.doc_id = d.doc_id)
+    SELECT f.*,
+           CAST(CASE WHEN dup_line_bp < 3000 AND dup_char_bp < 2000
+                      AND top_bigram_char_bp < 1800 AND bullet_line_bp < 9000
+                      AND ellipsis_line_bp < 3000
+                     THEN 1 ELSE 0 END AS BIGINT) AS gopher_keep
+    FROM f
+    """
+
+
 def ngram_topk_sql(table: str = "documents", n_top: int = 20) -> str:
     from .dedup import NORM_SQL
 

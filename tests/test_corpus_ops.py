@@ -70,3 +70,69 @@ def test_ngram_topk_plan_is_partial_agg_topk(spark):
     assert "TakeOrderedAndProject" in plan
     # map-side combine: two HashAggregates (partial + final) around ONE exchange
     assert plan.count("Exchange") - plan.count("ReusedExchange") <= 2
+
+
+def test_repetition_filters_matches_duckdb(spark, duck):
+    srows = sorted(map(tuple, textstats.repetition_filters(spark, SF_DIR).collect()))
+    drows = sorted(map(tuple, duck.execute(textstats.repetition_filters_sql()).fetchall()))
+    assert srows == drows
+    assert len(srows) == len(drows) > 0
+
+
+def test_repetition_filters_semantics(spark, tmp_path):
+    """Crafted documents pin the Gopher-signal arithmetic: duplicate-line
+    fractions via sort-adjacency, run-length top bigram with the
+    (count desc, gram desc) tie-break, bullet/ellipsis line rules."""
+    import duckdb
+
+    rows = [
+        (1, "a\na\nb"),            # 2 of 3 lines duplicated
+        (2, ""),                   # empty: single empty line, all zeros
+        (3, "- x\n* y\nz..."),     # bullets + ellipsis
+        (4, "x y x y x y"),        # dominant bigram "x y" (3 occurrences)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    path = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.parquet(path)
+
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in textstats.repetition_filters(spark, str(tmp_path)).collect()
+    }
+    # doc 1: n_dup=2/3 lines, 2/3 chars; bigrams "a a","a b" tie -> "a b"
+    assert got[1]["dup_line_bp"] == 6666
+    assert got[1]["dup_char_bp"] == 6666
+    assert got[1]["top_bigram_cnt"] == 1
+    assert got[1]["top_bigram_char_bp"] == 6000  # 1*3*10000 // 5
+    assert got[1]["gopher_keep"] == 0
+    # doc 2: degenerate empty doc keeps
+    assert got[2]["n_lines"] == 1
+    assert got[2]["top_bigram_cnt"] == 0
+    assert got[2]["gopher_keep"] == 1
+    # doc 3: 2/3 bullet lines, 1/3 ellipsis lines
+    assert got[3]["bullet_line_bp"] == 6666
+    assert got[3]["ellipsis_line_bp"] == 3333
+    # doc 4: "x y" occurs 3x, covers 9 chars of the 11-char norm
+    assert got[4]["top_bigram_cnt"] == 3
+    assert got[4]["top_bigram_char_bp"] == 8181
+    assert got[4]["gopher_keep"] == 0
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}/*.parquet'")
+    drows = {
+        r[0]: r for r in con.execute(textstats.repetition_filters_sql()).fetchall()
+    }
+    cols = [
+        "doc_id", "n_lines", "dup_line_bp", "dup_char_bp", "top_bigram_cnt",
+        "top_bigram_char_bp", "bullet_line_bp", "ellipsis_line_bp", "gopher_keep",
+    ]
+    for doc_id, want in got.items():
+        assert tuple(want[c] for c in cols) == drows[doc_id], doc_id
+    con.close()
+
+
+def test_repetition_filters_plan_no_shuffle(spark):
+    """Per-doc repetition stats must stay scan -> project: any Exchange
+    means 10^12 lines would cross the wire at the target scale."""
+    plan = textstats.repetition_filters(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

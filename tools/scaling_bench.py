@@ -117,22 +117,37 @@ def main() -> None:
     ap.add_argument("--update-bench-md", action="store_true")
     args = ap.parse_args()
 
-    results = {args.n: [], args.n4: []}
-    ceilings = {args.n: [], args.n4: []}
+    # Each Spark run is BRACKETED by two ceiling measurements: a co-tenant
+    # burst that starts mid-run (the failure mode of the two 2026-08-17
+    # contaminated runs — the 32-core Spark landed in a 3-4x slowdown the
+    # pre-run ceiling never saw) drags at least one bracket down.  A trial
+    # counts as clean only if both its brackets reach >=0.85 of the
+    # session-max ceiling at that parallelism; the reported number is the
+    # best CLEAN Spark trial per config.
+    trials = {args.n: [], args.n4: []}  # (c_pre, spark, c_post)
     for trial in range(args.trials):
         # alternate order across trials to decorrelate host noise
         order = (args.n, args.n4) if trial % 2 == 0 else (args.n4, args.n)
         for nc in order:
-            ceilings[nc].append(measure_ceiling(nc))
-            results[nc].append(measure_spark(nc)["value"])
+            c_pre = measure_ceiling(nc)
+            sp = measure_spark(nc)["value"]
+            c_post = measure_ceiling(nc)
+            trials[nc].append((c_pre, sp, c_post))
             print(
-                f"trial {trial} local[{nc}]: spark={results[nc][-1]:.0f}/s "
-                f"ceiling={ceilings[nc][-1]:.0f}/s",
+                f"trial {trial} local[{nc}]: spark={sp:.0f}/s "
+                f"ceiling={c_pre:.0f}/{c_post:.0f}/s",
                 file=sys.stderr,
             )
 
-    t8, t32 = max(results[args.n]), max(results[args.n4])
-    c8, c32 = max(ceilings[args.n]), max(ceilings[args.n4])
+    def pick(nc):
+        cmax = max(c for t in trials[nc] for c in (t[0], t[2]))
+        clean = [t for t in trials[nc] if min(t[0], t[2]) >= 0.85 * cmax]
+        contaminated = not clean
+        best = max(clean or trials[nc], key=lambda t: t[1])
+        return best[1], cmax, contaminated
+
+    t8, c8, dirty8 = pick(args.n)
+    t32, c32, dirty32 = pick(args.n4)
     raw_eff = (t32 / t8) / (args.n4 / args.n)
     norm_eff = (t32 / c32) / (t8 / c8)
     out = {
@@ -148,6 +163,10 @@ def main() -> None:
         "raw_efficiency": round(raw_eff, 3),
         "normalized_efficiency": round(norm_eff, 3),
         "trials": args.trials,
+        # True when NO trial at that parallelism had both ceiling brackets
+        # within 15% of the session max — treat the numbers as a lower
+        # bound measured under co-tenant interference, not evidence.
+        "contaminated": {str(args.n): dirty8, str(args.n4): dirty32},
     }
     print(json.dumps(out))
 
