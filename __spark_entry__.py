@@ -25,6 +25,7 @@ from html_parser_spark.operators import (
     multimodal,
     pdfops,
     relational,
+    sampling,
     similarity,
     temporal,
     textstats,
@@ -329,6 +330,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ngram_topk": textstats.ngram_topk,
         "text_repetition_filters": textstats.repetition_filters,
         "text_distinct_approx": textstats.distinct_counts_approx,
+        # deterministic splits / sampling (scan -> project, no shuffle)
+        "corpus_splits": sampling.corpus_splits,
+        "corpus_sample": sampling.sample_documents,
         "text_quantiles_approx": textstats.length_quantiles_approx,
         # multimodal plumbing (binary payload → mapInPandas metadata)
         "multimodal_metadata": multimodal.payload_metadata,
@@ -383,6 +387,8 @@ def oracle_sql() -> dict[str, str]:
         "text_distinct_counts": textstats.distinct_counts_sql(),
         "text_ngram_topk": textstats.ngram_topk_sql(),
         "text_repetition_filters": textstats.repetition_filters_sql(),
+        "corpus_splits": sampling.corpus_splits_sql(),
+        "corpus_sample": sampling.sample_documents_sql(),
         "multimodal_metadata": multimodal.payload_metadata_sql(),
         "pdf_page_text": pdfops.pdf_page_text_sql(),
         "rel_pricing_summary": relational.pricing_summary_sql(),

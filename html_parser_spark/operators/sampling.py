@@ -1,0 +1,102 @@
+"""Deterministic corpus splitting and sampling.
+
+The training-data staples the reference's query surface never needed but
+any 100 TB corpus job does on day one: reproducible train/val/test
+assignment and seeded sub-sampling.  Both are pure hash expressions —
+scan → project, ZERO shuffles, stable under repartitioning, and new
+documents land in the same split forever (no split table to join
+against, no state to version beyond the seed string).
+
+Cross-engine contract (CLAUDE.md): md5 is the only hash both Spark and
+DuckDB evaluate bit-identically, so the bucket is the first 8 hex digits
+of ``md5(seed || '|' || doc_id)`` as an unsigned 32-bit int (signed-64
+safe) — Spark ``conv(substr(...), 16, 10)``, DuckDB
+``('0x' || substring(...))::UBIGINT``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _bucket(seed: str, modulus: int):
+    key = F.concat(F.lit(f"{seed}|"), F.col("doc_id").cast("string"))
+    return (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % modulus
+    )
+
+
+def _bucket_sql(seed: str, modulus: int) -> str:
+    return (
+        f"CAST(('0x' || substring(md5('{seed}|' || CAST(doc_id AS VARCHAR)), 1, 8))"
+        f"::UBIGINT % {modulus} AS BIGINT)"
+    )
+
+
+def corpus_splits(
+    spark: SparkSession,
+    sf_dir: str,
+    train_pct: int = 90,
+    val_pct: int = 5,
+    seed: str = "split-v1",
+) -> DataFrame:
+    """Assign every document to train/val/test by hash bucket.
+
+    The seed string versions the split: bump it and the whole corpus
+    reshuffles; keep it and incremental ingests extend each split
+    consistently.  Holdout leakage across near-duplicate documents is the
+    dedup family's job (cluster keep-list first, then split)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    b = _bucket(seed, 100)
+    split = (
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select(
+        "doc_id", "source", b.alias("bucket"), split.alias("split")
+    )
+
+
+def corpus_splits_sql(
+    table: str = "documents",
+    train_pct: int = 90,
+    val_pct: int = 5,
+    seed: str = "split-v1",
+) -> str:
+    b = _bucket_sql(seed, 100)
+    return f"""
+    SELECT doc_id, source, {b} AS bucket,
+           CASE WHEN {b} < {train_pct} THEN 'train'
+                WHEN {b} < {train_pct + val_pct} THEN 'val'
+                ELSE 'test' END AS split
+    FROM {table}
+    """
+
+
+def sample_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    rate_bp: int = 1000,
+    seed: str = "sample-v1",
+) -> DataFrame:
+    """Seeded Bernoulli sample at ``rate_bp`` basis points (1000 = 10%).
+
+    Unlike ``DataFrame.sample`` this is deterministic across runs, Spark
+    versions, and partitionings — the property a reproducible eval or
+    dev-corpus build actually needs.  Projection stays narrow (ids +
+    length) so the 100 TB scan prunes ``text`` entirely."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.where(_bucket(seed, 10000) < rate_bp).select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+def sample_documents_sql(
+    table: str = "documents", rate_bp: int = 1000, seed: str = "sample-v1"
+) -> str:
+    return f"""
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+    FROM {table}
+    WHERE {_bucket_sql(seed, 10000)} < {rate_bp}
+    """
