@@ -91,6 +91,8 @@ def main() -> None:
             "dedup_embedding_cosine",  # round-2: banded-LSH candidates
             "ann_cosine_topk",
             "text_quality_scores",
+            "text_repetition_filters",  # round-3: Gopher repetition signals
+            "corpus_splits",  # round-3: deterministic split assignment
             "rel_pricing_summary",
             "rel_top_revenue_nations",
             "rel_asof_join",
