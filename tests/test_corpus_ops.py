@@ -136,3 +136,58 @@ def test_repetition_filters_plan_no_shuffle(spark):
     means 10^12 lines would cross the wire at the target scale."""
     plan = textstats.repetition_filters(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_repetition_filters_random_docs_vs_python(spark, tmp_path):
+    """Property check: the array-op formulation (sort + neighbor equality,
+    run-length aggregate) equals a naive pure-Python computation on random
+    multi-line docs — guards the O(L log L) trick against off-by-ones."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(8177)
+    words = ["alpha", "beta", "gamma", "x", "yz", "-dash", "*star"]
+    docs = []
+    for doc_id in range(60):
+        lines = [
+            " ".join(rng.choice(words) for _ in range(rng.randint(0, 5)))
+            for _ in range(rng.randint(0, 12))
+        ]
+        docs.append((doc_id, "\n".join(lines)))
+
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    path = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.parquet(path)
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in textstats.repetition_filters(spark, str(tmp_path)).collect()
+    }
+
+    def norm(t):
+        return " ".join(t.lower().split())
+
+    for doc_id, text in docs:
+        lines = text.split("\n")
+        lc = Counter(lines)
+        n_lines = len(lines)
+        n_dup = sum(c for c in lc.values() if c > 1)
+        dup_chars = sum(len(l) * c for l, c in lc.items() if c > 1)
+        tot_chars = sum(len(l) for l in lines)
+        toks = norm(text).split(" ")
+        grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])] if len(toks) >= 2 else []
+        if grams:
+            gc = Counter(grams)
+            best_cnt = max(gc.values())
+            best_gram = max(g for g, c in gc.items() if c == best_cnt)
+        else:
+            best_cnt, best_gram = 0, ""
+        norm_len = max(len(norm(text)), 1)
+        want = {
+            "n_lines": n_lines,
+            "dup_line_bp": int(n_dup * 10000.0 / max(n_lines, 1)),
+            "dup_char_bp": int(dup_chars * 10000.0 / max(tot_chars, 1)),
+            "top_bigram_cnt": best_cnt,
+            "top_bigram_char_bp": int(best_cnt * len(best_gram) * 10000.0 / norm_len),
+        }
+        have = {k: got[doc_id][k] for k in want}
+        assert have == want, (doc_id, repr(text), have, want)
