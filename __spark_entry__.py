@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from html_parser_spark.fixtures import ensure_transcripts
 from html_parser_spark.goldens import dom_golden_parquet, gate_golden_parquet
 from html_parser_spark.operators import (
+    chunking,
     dedup,
     multimodal,
     pdfops,
@@ -333,6 +334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic splits / sampling (scan -> project, no shuffle)
         "corpus_splits": sampling.corpus_splits,
         "corpus_sample": sampling.sample_documents,
+        "corpus_chunks": chunking.chunk_documents,
         "text_quantiles_approx": textstats.length_quantiles_approx,
         # multimodal plumbing (binary payload → mapInPandas metadata)
         "multimodal_metadata": multimodal.payload_metadata,
@@ -389,6 +391,7 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition_filters": textstats.repetition_filters_sql(),
         "corpus_splits": sampling.corpus_splits_sql(),
         "corpus_sample": sampling.sample_documents_sql(),
+        "corpus_chunks": chunking.chunk_documents_sql(),
         "multimodal_metadata": multimodal.payload_metadata_sql(),
         "pdf_page_text": pdfops.pdf_page_text_sql(),
         "rel_pricing_summary": relational.pricing_summary_sql(),

@@ -73,3 +73,54 @@ def test_plans_have_no_shuffle(spark):
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+def test_chunking_matches_duckdb(spark, duck):
+    from html_parser_spark.operators import chunking
+
+    for ct, ov in ((128, 32), (16, 4)):
+        srows = sorted(map(tuple, chunking.chunk_documents(spark, SF_DIR, ct, ov).collect()))
+        drows = sorted(map(tuple, duck.execute(chunking.chunk_documents_sql(chunk_tokens=ct, overlap=ov)).fetchall()))
+        assert srows == drows, (ct, ov)
+        assert len(srows) >= 500  # every doc yields >= 1 chunk
+
+
+def test_chunking_window_invariants(spark):
+    from html_parser_spark.operators import chunking
+
+    rows = chunking.chunk_documents(spark, SF_DIR, 16, 4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    import duckdb as d
+
+    con = d.connect()
+    toks = dict(
+        con.execute(
+            "SELECT doc_id, len(string_split(trim(regexp_replace(lower(text),"
+            f" '[ \t\n\x0b\f\r]+', ' ', 'g')), ' ')) FROM '{SF_DIR}/documents.parquet'"
+        ).fetchall()
+    )
+    con.close()
+    stride = 12
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        n = toks[doc_id]
+        # contiguous ids, full windows except possibly the last, clamped tail
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        for c in chunks[:-1]:
+            assert c.chunk_tokens == 16
+        assert chunks[-1].chunk_tokens == min(16, n - (len(chunks) - 1) * stride)
+        # every token index is covered by some window
+        covered = set()
+        for c in chunks:
+            start = c.chunk_idx * stride
+            covered.update(range(start, start + c.chunk_tokens))
+        assert covered == set(range(n))
+
+
+def test_chunking_rejects_bad_overlap(spark):
+    from html_parser_spark.operators import chunking
+
+    with pytest.raises(ValueError):
+        chunking.chunk_documents(spark, SF_DIR, 16, 16)
