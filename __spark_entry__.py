@@ -336,6 +336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_splits": sampling.corpus_splits,
         "corpus_sample": sampling.sample_documents,
         "corpus_chunks": chunking.chunk_documents,
+        "corpus_mix": sampling.mix_documents,
         "text_pii_scrub": scrub.pii_scrub,
         "text_quantiles_approx": textstats.length_quantiles_approx,
         # multimodal plumbing (binary payload → mapInPandas metadata)
@@ -394,6 +395,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_splits": sampling.corpus_splits_sql(),
         "corpus_sample": sampling.sample_documents_sql(),
         "corpus_chunks": chunking.chunk_documents_sql(),
+        "corpus_mix": sampling.mix_documents_sql(),
         "text_pii_scrub": scrub.pii_scrub_sql(),
         "multimodal_metadata": multimodal.payload_metadata_sql(),
         "pdf_page_text": pdfops.pdf_page_text_sql(),

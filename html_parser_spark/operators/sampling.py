@@ -100,3 +100,54 @@ def sample_documents_sql(
     FROM {table}
     WHERE {_bucket_sql(seed, 10000)} < {rate_bp}
     """
+
+
+DEFAULT_MIX = {"src0": 10000, "src1": 5000, "src2": 2500}
+DEFAULT_MIX_REST = 1000
+
+
+def mix_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    rates_bp: dict[str, int] | None = None,
+    default_bp: int = DEFAULT_MIX_REST,
+    seed: str = "mix-v1",
+) -> DataFrame:
+    """Domain mixing: per-source Bernoulli rates (basis points) in one
+    deterministic pass — the pretraining knob that up-weights curated
+    sources and down-samples crawl bulk.
+
+    The rate table is a plain CASE expression (a handful of literals),
+    NOT a join: at 10^12 docs the mixing decision must stay inside the
+    scan's codegen.  Same md5-bucket machinery as
+    :func:`sample_documents`, independent seed, so mixing composes with
+    (is independent of) the split assignment."""
+    rates = DEFAULT_MIX if rates_bp is None else rates_bp
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rate = F.lit(default_bp)
+    for src, bp in sorted(rates.items()):
+        rate = F.when(F.col("source") == src, F.lit(bp)).otherwise(rate)
+    return docs.where(_bucket(seed, 10000) < rate).select(
+        "doc_id",
+        "source",
+        rate.cast("long").alias("rate_bp"),
+    )
+
+
+def mix_documents_sql(
+    table: str = "documents",
+    rates_bp: dict[str, int] | None = None,
+    default_bp: int = DEFAULT_MIX_REST,
+    seed: str = "mix-v1",
+) -> str:
+    rates = DEFAULT_MIX if rates_bp is None else rates_bp
+    arms = " ".join(
+        f"WHEN source = '{src}' THEN {bp}"
+        for src, bp in sorted(rates.items(), reverse=True)
+    )
+    rate = f"CASE {arms} ELSE {default_bp} END"
+    return f"""
+    SELECT doc_id, source, CAST({rate} AS BIGINT) AS rate_bp
+    FROM {table}
+    WHERE {_bucket_sql(seed, 10000)} < {rate}
+    """

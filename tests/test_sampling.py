@@ -124,3 +124,44 @@ def test_chunking_rejects_bad_overlap(spark):
 
     with pytest.raises(ValueError):
         chunking.chunk_documents(spark, SF_DIR, 16, 16)
+
+
+def test_mix_matches_duckdb(spark, duck):
+    srows = sorted(map(tuple, sampling.mix_documents(spark, SF_DIR).collect()))
+    drows = sorted(map(tuple, duck.execute(sampling.mix_documents_sql()).fetchall()))
+    assert srows == drows
+    custom = {"src3": 10000, "src4": 0}
+    srows = sorted(
+        map(tuple, sampling.mix_documents(spark, SF_DIR, rates_bp=custom, default_bp=500).collect())
+    )
+    drows = sorted(
+        map(tuple, duck.execute(sampling.mix_documents_sql(rates_bp=custom, default_bp=500)).fetchall())
+    )
+    assert srows == drows
+
+
+def test_mix_respects_rates(spark):
+    rows = sampling.mix_documents(
+        spark, SF_DIR, rates_bp={"src0": 10000, "src1": 0}, default_bp=0
+    ).collect()
+    srcs = {r.source for r in rows}
+    assert srcs == {"src0"}  # rate-0 sources vanish, rate-10000 keeps all
+    import duckdb as d
+
+    con = d.connect()
+    n_src0 = con.execute(
+        f"SELECT count(*) FROM '{SF_DIR}/documents.parquet' WHERE source = 'src0'"
+    ).fetchone()[0]
+    con.close()
+    assert len(rows) == n_src0
+
+
+def test_mix_independent_of_split(spark):
+    """Different seeds: the mixing decision must not correlate with the
+    split assignment (both are md5 buckets but over different keys)."""
+    mix_ids = {r.doc_id for r in sampling.mix_documents(
+        spark, SF_DIR, rates_bp={}, default_bp=5000).collect()}
+    splits = {r.doc_id: r.split for r in sampling.corpus_splits(spark, SF_DIR).collect()}
+    picked_train = sum(1 for i in mix_ids if splits[i] == "train")
+    # ~90% of the mixed half should be train; gross correlation would skew it
+    assert 0.8 < picked_train / len(mix_ids) < 1.0
