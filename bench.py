@@ -64,9 +64,19 @@ def main() -> None:
     # identical runs up to ~4x (BENCH.md round-3 episode: 4.9k-17.5k
     # turns/s same day, 35-45% CPU steal measured during the slow runs).
     # The minimum wall time is the least-contended estimate of the code's
-    # actual throughput; all passes are reported for honesty.
-    passes = []
-    for _ in range(3):
+    # actual throughput; all passes (and the hypervisor steal fraction
+    # seen during each) are reported for honesty.  If even the best pass
+    # ran under visible steal, up to 3 extra passes hunt for a quiet
+    # window — steal is the co-tenant's doing, not this engine's.
+    def _cpu_ticks():
+        with open("/proc/stat") as f:
+            vals = list(map(int, f.readline().split()[1:]))
+        return sum(vals), vals[7] if len(vals) > 7 else 0
+
+    passes, steals = [], []
+
+    def _one_pass():
+        tot0, st0 = _cpu_ticks()
         t0 = time.time()
         extracted = run_extraction(transcripts)
         # force full materialization incl. spans/main_text, not just count
@@ -75,8 +85,16 @@ def main() -> None:
             F.sum(F.length("main_text")).alias("chars"),
             F.sum("err_count").alias("errs"),
         ).first()
-        passes.append(round(time.time() - t0, 3))
+        wall = time.time() - t0
+        tot1, st1 = _cpu_ticks()
+        passes.append(round(wall, 3))
+        steals.append(round((st1 - st0) / max(tot1 - tot0, 1), 3))
         assert agg["n"] == n_turns
+
+    for _ in range(3):
+        _one_pass()
+    while steals[passes.index(min(passes))] > 0.10 and len(passes) < 6:
+        _one_pass()
     extract_sec = min(passes)
 
     queries = {"extract_turns": round(extract_sec, 3)}
@@ -123,6 +141,7 @@ def main() -> None:
         "mb_per_sec": round(n_bytes / extract_sec / 1e6, 2),
         "extract_wall_sec": round(extract_sec, 3),
         "extract_passes_sec": passes,
+        "extract_passes_steal": steals,
         # the ACTUAL master (the session default applies the measured
         # ~12% slot reservation, e.g. local[28] on a 32-cpu budget)
         "master": spark.sparkContext.master,
