@@ -187,6 +187,13 @@ def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.decontaminate(spark, sf_dir, gram_width=4)
 
 
+def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing at an explicit gate geometry (512-token
+    sequences, 4 shards) so the fixture corpus produces plenty of
+    boundary-crossing pieces; the operator default is 2048/8."""
+    return chunking.pack_sequences(spark, sf_dir, seq_len=512, n_groups=4)
+
+
 def _conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandas grouped-map rollup over the transcript corpus."""
     return udx.conversation_stats(
@@ -336,6 +343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_splits": sampling.corpus_splits,
         "corpus_sample": sampling.sample_documents,
         "corpus_chunks": chunking.chunk_documents,
+        "corpus_pack": _pack_sequences,
         "corpus_mix": sampling.mix_documents,
         "text_pii_scrub": scrub.pii_scrub,
         "text_quantiles_approx": textstats.length_quantiles_approx,
@@ -395,6 +403,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_splits": sampling.corpus_splits_sql(),
         "corpus_sample": sampling.sample_documents_sql(),
         "corpus_chunks": chunking.chunk_documents_sql(),
+        "corpus_pack": chunking.pack_sequences_sql(seq_len=512, n_groups=4),
         "corpus_mix": sampling.mix_documents_sql(),
         "text_pii_scrub": scrub.pii_scrub_sql(),
         "multimodal_metadata": multimodal.payload_metadata_sql(),

@@ -165,3 +165,77 @@ def test_mix_independent_of_split(spark):
     picked_train = sum(1 for i in mix_ids if splits[i] == "train")
     # ~90% of the mixed half should be train; gross correlation would skew it
     assert 0.8 < picked_train / len(mix_ids) < 1.0
+
+
+def test_pack_sequences_matches_duckdb(spark, duck):
+    from html_parser_spark.operators import chunking
+
+    for sl, ng in ((512, 4), (64, 2)):
+        srows = sorted(
+            map(tuple, chunking.pack_sequences(spark, SF_DIR, sl, ng).collect())
+        )
+        drows = sorted(
+            map(
+                tuple,
+                duck.execute(
+                    chunking.pack_sequences_sql(seq_len=sl, n_groups=ng)
+                ).fetchall(),
+            )
+        )
+        assert srows == drows, (sl, ng)
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing semantics: the per-group token stream is tiled exactly —
+    every sequence but the group's last holds exactly seq_len tokens,
+    every document is fully covered by its pieces, and piece offsets are
+    consistent on both the doc side and the seq side."""
+    from html_parser_spark.operators import chunking
+
+    seq_len = 256
+    rows = chunking.pack_sequences(spark, SF_DIR, seq_len=seq_len, n_groups=4).collect()
+
+    # (a) sequences are full except each group's final one
+    per_seq = {}
+    for r in rows:
+        per_seq[(r.group_id, r.seq_id)] = per_seq.get((r.group_id, r.seq_id), 0) + r.piece_tokens
+    last_seq = {}
+    for g, s in per_seq:
+        last_seq[g] = max(last_seq.get(g, -1), s)
+    for (g, s), tot in per_seq.items():
+        if s != last_seq[g]:
+            assert tot == seq_len, (g, s, tot)
+        else:
+            assert 0 < tot <= seq_len
+
+    # (b) each document is tiled contiguously from token 0
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, pieces in by_doc.items():
+        pieces.sort(key=lambda r: (r.seq_id, r.seq_tok_start))
+        assert pieces[0].doc_tok_start == 0
+        for prev, cur in zip(pieces, pieces[1:]):
+            assert cur.doc_tok_start == prev.doc_tok_start + prev.piece_tokens
+            assert cur.seq_id == prev.seq_id + 1  # crossing pieces are adjacent
+            assert cur.seq_tok_start == 0  # continuation starts a sequence
+
+    # (c) seq-side offsets stay inside the sequence
+    for r in rows:
+        assert 0 <= r.seq_tok_start < seq_len
+        assert r.seq_tok_start + r.piece_tokens <= seq_len
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """One Exchange total (the group window); text never enters the plan."""
+    from html_parser_spark.operators import chunking
+
+    df = chunking.pack_sequences(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    # the shuffle moves (group_id, doc_id, n_tokens) only: the text column
+    # is consumed by the size(split(...)) projection below the Exchange,
+    # so no Window/shuffle operator line may reference it
+    for line in plan.splitlines():
+        if "Window" in line or "Exchange" in line:
+            assert "text#" not in line, line
