@@ -708,3 +708,189 @@ def decontaminate_sql(
     FROM tr JOIN ev USING (gram)
     GROUP BY doc_id ORDER BY doc_id
     """
+
+
+# ------------------------------------------------------- incremental dedup
+
+
+def incremental_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    jaccard_threshold: float = 0.5,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    batch_seed: str = "incr-v1",
+    batch_buckets: int = 10,
+) -> DataFrame:
+    """Dedupe a NEW ingest batch against the existing corpus without
+    re-clustering the corpus: one row per batch document —
+    ``(doc_id, status, dup_of)`` with status ``dup_of_corpus`` (verified
+    near-dup of an existing doc), ``dup_in_batch`` (verified near-dup of
+    a smaller-id batch doc), or ``kept``.  ``dup_of`` is the minimum
+    verified match id (corpus matches take precedence).
+
+    Batch-internal resolution is greedy by id (b drops if ANY smaller
+    batch doc verifies, whether or not that doc itself dropped) — the
+    standard incremental-ingest compromise; full transitive resolution
+    over history is :func:`dedup_cluster_keep_list`'s periodic job.
+
+    Scale shape: in production the corpus side is the STORED band-key
+    table (doc_id, band, band_key) maintained by prior ingests — here it
+    is derived in-plan from the same scan.  The new batch is ingest-sized
+    (≪ corpus), so its band keys are BROADCAST for the cross join: the
+    10^12-doc corpus key table is scanned once and never shuffles, and
+    the verify stage joins shingles for candidate ids only.  The batch
+    membership flag is a pure hash expression over doc_id (the sampling
+    family's seeded bucket), so no membership table is joined anywhere."""
+    from .sampling import _bucket
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    is_batch = _bucket(batch_seed, batch_buckets) == 0
+    keys = minhash_band_keys(
+        minhash_signatures(spark, sf_dir, n_hashes), n_hashes, n_bands
+    ).withColumn("is_batch", is_batch)
+    batch_keys = keys.filter("is_batch").drop("is_batch")
+    corpus_keys = keys.filter("NOT is_batch").drop("is_batch")
+
+    vs_corpus = (
+        F.broadcast(batch_keys.alias("b"))
+        .join(
+            corpus_keys.alias("c"),
+            (F.col("b.band") == F.col("c.band"))
+            & (F.col("b.band_key") == F.col("c.band_key")),
+        )
+        .select(
+            F.col("b.doc_id").alias("batch_id"),
+            F.col("c.doc_id").alias("match_id"),
+            F.lit("corpus").alias("kind"),
+        )
+    )
+    vs_batch = (
+        batch_keys.alias("x")
+        .join(
+            batch_keys.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("y.doc_id").alias("batch_id"),
+            F.col("x.doc_id").alias("match_id"),
+            F.lit("batch").alias("kind"),
+        )
+    )
+    cand = vs_corpus.unionByName(vs_batch).distinct()
+
+    sh = docs.select("doc_id", _shingles().alias("sh"))
+    verified = (
+        cand.join(
+            sh.withColumnRenamed("doc_id", "batch_id").withColumnRenamed(
+                "sh", "sh_b"
+            ),
+            "batch_id",
+        )
+        .join(
+            sh.withColumnRenamed("doc_id", "match_id").withColumnRenamed(
+                "sh", "sh_m"
+            ),
+            "match_id",
+        )
+        .filter(
+            F.size(F.array_intersect("sh_b", "sh_m")).cast("double")
+            / F.greatest(F.size(F.array_union("sh_b", "sh_m")), F.lit(1))
+            >= jaccard_threshold
+        )
+        .select("batch_id", "match_id", "kind")
+    )
+
+    batch_docs = docs.filter(is_batch).select("doc_id")
+    agg = verified.groupBy(F.col("batch_id").alias("doc_id")).agg(
+        F.min(F.when(F.col("kind") == "corpus", F.col("match_id"))).alias(
+            "corpus_min"
+        ),
+        F.min(F.when(F.col("kind") == "batch", F.col("match_id"))).alias(
+            "batch_min"
+        ),
+    )
+    return (
+        batch_docs.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("corpus_min").isNotNull(), F.lit("dup_of_corpus"))
+            .when(F.col("batch_min").isNotNull(), F.lit("dup_in_batch"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+            F.coalesce("corpus_min", "batch_min").cast("long").alias("dup_of"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def incremental_dedup_sql(
+    table: str = "documents",
+    jaccard_threshold: float = 0.5,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    batch_seed: str = "incr-v1",
+    batch_buckets: int = 10,
+) -> str:
+    from .sampling import _bucket_sql
+
+    sig = minhash_signatures_sql(table, n_hashes)
+    rows_per_band = n_hashes // n_bands
+    band_structs = ", ".join(
+        "{'band': %d, 'band_key': md5(%s)}"
+        % (
+            b,
+            " || '|' || ".join(
+                f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    flag = f"{_bucket_sql(batch_seed, batch_buckets)} = 0"
+    jac = (
+        "len(list_intersect(sb.s, sm.s)) * 1.0 /"
+        " greatest(len(list_distinct(sb.s || sm.s)), 1)"
+    )
+    return f"""
+    WITH sig AS ({sig}),
+    keys AS (
+      SELECT doc_id, bk['band'] AS band, bk['band_key'] AS band_key,
+             {flag} AS is_batch
+      FROM sig, unnest([{band_structs}]) AS t(bk)
+    ),
+    cand AS (
+      SELECT b.doc_id AS batch_id, c.doc_id AS match_id, 'corpus' AS kind
+      FROM keys b JOIN keys c
+        ON b.is_batch AND NOT c.is_batch
+       AND b.band = c.band AND b.band_key = c.band_key
+      UNION
+      SELECT y.doc_id, x.doc_id, 'batch'
+      FROM keys x JOIN keys y
+        ON x.is_batch AND y.is_batch AND x.doc_id < y.doc_id
+       AND x.band = y.band AND x.band_key = y.band_key
+    ),
+    sh AS (SELECT doc_id, {SHINGLES_SQL} AS s FROM {table}),
+    ver AS (
+      SELECT cand.batch_id, cand.match_id, cand.kind
+      FROM cand
+      JOIN sh sb ON sb.doc_id = cand.batch_id
+      JOIN sh sm ON sm.doc_id = cand.match_id
+      WHERE {jac} >= {jaccard_threshold}
+    ),
+    agg AS (
+      SELECT batch_id AS doc_id,
+             min(CASE WHEN kind = 'corpus' THEN match_id END) AS corpus_min,
+             min(CASE WHEN kind = 'batch' THEN match_id END) AS batch_min
+      FROM ver GROUP BY batch_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN corpus_min IS NOT NULL THEN 'dup_of_corpus'
+                WHEN batch_min IS NOT NULL THEN 'dup_in_batch'
+                ELSE 'kept' END AS status,
+           CAST(COALESCE(corpus_min, batch_min) AS BIGINT) AS dup_of
+    FROM (SELECT doc_id FROM {table} WHERE {flag}) d
+    LEFT JOIN agg ON agg.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """

@@ -93,3 +93,70 @@ def test_default_geometry_finds_planted_dup(spark, tmp_path):
     )
     cand = dedup.minhash_candidates(spark, str(tmp_path)).collect()
     assert [(r.doc_a, r.doc_b) for r in cand] == [(1, 2)]
+
+
+# ------------------------------------------------------- incremental dedup
+# Batch membership under seed "incr-v1"/10 buckets is a pure hash of
+# doc_id: ids 7, 17, 25, 38 land in the batch bucket; 1-6, 8, 9 in the
+# corpus (precomputed from the md5 bucket definition).
+
+
+def _write_incr_corpus(tmp_path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ids, texts = zip(*rows)
+    pq.write_table(
+        pa.table({"doc_id": list(ids), "text": list(texts)}),
+        str(tmp_path / "documents.parquet"),
+    )
+    return str(tmp_path)
+
+
+def test_incremental_dedup_statuses(spark, tmp_path):
+    """Planted semantics: a batch doc duplicating a corpus doc drops as
+    dup_of_corpus; two batch dups of each other resolve greedily by id
+    (smaller kept, larger dup_in_batch); corpus wins over batch when a
+    doc matches both; unmatched batch docs are kept."""
+    dup_a = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    dup_b = "one two three four five six seven eight nine ten " * 4
+    sf = _write_incr_corpus(
+        tmp_path,
+        [
+            (1, dup_a),                       # corpus
+            (2, "unrelated corpus text that matches nothing else here"),
+            (7, dup_a),                       # batch: dup of corpus 1
+            (17, dup_b),                      # batch: kept (first of pair)
+            (25, dup_b),                      # batch: dup_in_batch of 17
+            (38, "a fresh unique batch document with its own words"),
+        ],
+    )
+    rows = {r.doc_id: r for r in dedup.incremental_dedup(spark, sf).collect()}
+    assert set(rows) == {7, 17, 25, 38}  # corpus docs never appear
+    assert (rows[7].status, rows[7].dup_of) == ("dup_of_corpus", 1)
+    assert (rows[17].status, rows[17].dup_of) == ("kept", None)
+    assert (rows[25].status, rows[25].dup_of) == ("dup_in_batch", 17)
+    assert (rows[38].status, rows[38].dup_of) == ("kept", None)
+
+
+def test_incremental_dedup_corpus_precedence(spark, tmp_path):
+    """A batch doc matching BOTH a corpus doc and a smaller batch doc
+    reports the corpus match (the corpus keeper is the survivor that
+    already exists downstream)."""
+    dup = "same text everywhere in corpus and batch alike repeated " * 4
+    sf = _write_incr_corpus(tmp_path, [(5, dup), (17, dup), (25, dup)])
+    rows = {r.doc_id: r for r in dedup.incremental_dedup(spark, sf).collect()}
+    assert (rows[17].status, rows[17].dup_of) == ("dup_of_corpus", 5)
+    assert (rows[25].status, rows[25].dup_of) == ("dup_of_corpus", 5)
+
+
+def test_incremental_dedup_broadcasts_batch_side(spark):
+    """The batch→corpus candidate join must broadcast the batch keys —
+    the corpus band-key table never shuffles for it."""
+    plan = (
+        dedup.incremental_dedup(spark, SF_DIR, n_hashes=8, n_bands=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
