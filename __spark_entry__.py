@@ -19,7 +19,11 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from html_parser_spark.fixtures import ensure_transcripts
-from html_parser_spark.goldens import dom_golden_parquet, gate_golden_parquet
+from html_parser_spark.goldens import (
+    dom_golden_parquet,
+    gate_golden_parquet,
+    link_golden_parquet,
+)
 from html_parser_spark.operators import (
     chunking,
     dedup,
@@ -120,6 +124,26 @@ def _dom_extract_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[c for c in ext.columns if c != "spans"],
         F.to_json("spans").alias("spans_json"),
     )
+
+
+def _extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperlink harvest (href + anchor text + provenance spans) over the
+    transcript corpus — the corpus link graph.  Value-oracled against
+    committed engine goldens (single-process truth over the
+    reference-verified tokenizer; goldens.py)."""
+    from html_parser_spark.operators.linkops import run_link_extraction
+
+    return run_link_extraction(_transcripts(spark, _sf_of(sf_dir)))
+
+
+def _extract_links_oracle() -> str:
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR")
+    path = link_golden_parquet(_sf_of(sf_dir) if sf_dir else 0.01)
+    return f"""
+    SELECT conv_id, turn_idx, link_idx, href, anchor_text,
+           src_start, src_end
+    FROM read_parquet('{path}')
+    """
 
 
 def _extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -317,6 +341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_turns": _extract_turns,
         "extract_dom_turns": _dom_extract_turns,
         "extract_metrics": _extract_metrics,
+        "extract_links": _extract_links,
         "tokens_kind_counts": _token_kind_counts,
         "display_roundtrip": _display_roundtrip,
         "conversation_stats": _conv_stats,
@@ -381,6 +406,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_turns": _extract_turns_oracle(),
         "extract_dom_turns": _dom_turns_oracle(),
         "extract_metrics": _extract_metrics_oracle(),
+        "extract_links": _extract_links_oracle(),
         "tokens_kind_counts": _token_kind_counts_oracle(),
         "display_roundtrip": _display_roundtrip_oracle(),
         "dedup_exact": dedup.exact_duplicates_sql(),

@@ -1,0 +1,85 @@
+"""Spark surface for hyperlink harvesting (the corpus link graph).
+
+Same physical shape as the flagship extraction (`pipeline.py`): pruned
+scan → salted repartition with an EXPLICIT partition count → ordered
+Arrow SCALAR_ITER UDF → explode.  One shuffle total for 10^12 turns; the
+explode is local, so long link-dense turns fan out without a second
+exchange.  Output is link-graph-shaped: one row per (turn, link).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.links import extract_links
+
+LINK = StructType(
+    [
+        StructField("link_idx", IntegerType()),
+        StructField("href", StringType()),
+        StructField("anchor_text", StringType()),
+        StructField("src_start", IntegerType()),
+        StructField("src_end", IntegerType()),
+    ]
+)
+
+
+@pandas_udf(ArrayType(LINK))
+def links_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    for texts in batches:
+        yield pd.Series(
+            [
+                []
+                if t is None
+                else [
+                    (
+                        r["link_idx"],
+                        r["href"],
+                        r["anchor_text"],
+                        r["src_start"],
+                        r["src_end"],
+                    )
+                    for r in extract_links(t)
+                ]
+                for t in texts
+            ]
+        )
+
+
+def run_link_extraction(
+    df: DataFrame,
+    *,
+    num_partitions: int | None = None,
+    salt_k: int = 8,
+) -> DataFrame:
+    """transcripts DataFrame → (conv_id, turn_idx, link_idx, href,
+    anchor_text, src_start, src_end), one row per harvested link."""
+    pruned = df.select("conv_id", "turn_idx", "text")
+    if num_partitions is None:
+        sc = pruned.sparkSession.sparkContext
+        num_partitions = max(
+            sc.defaultParallelism * 4,
+            int(pruned.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        )
+    salt = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(salt_k))
+    links = (
+        pruned.repartition(num_partitions, F.col("conv_id"), salt)
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .select("conv_id", "turn_idx", links_udf(F.col("text")).alias("links"))
+    )
+    return links.select(
+        "conv_id",
+        "turn_idx",
+        F.explode("links").alias("lk"),
+    ).select("conv_id", "turn_idx", "lk.*")
