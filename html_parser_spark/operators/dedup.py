@@ -493,26 +493,58 @@ def dedup_cluster_keep_list(
 def connected_components(
     docs: DataFrame, edges: DataFrame, max_iter: int = 25
 ) -> DataFrame:
-    """Min-label propagation over ``edges`` (doc_a, doc_b undirected);
-    returns ``(doc_id, cluster_id, is_keeper)`` for every row of
-    ``docs`` (singletons keep themselves)."""
+    """Min-label propagation + path halving over ``edges`` (doc_a, doc_b
+    undirected); returns ``(doc_id, cluster_id, is_keeper)`` for every
+    row of ``docs`` (singletons keep themselves).
+
+    Two hard-won iteration rules (measured on a template-heavy extracted
+    corpus whose simhash edges form long CHAINS — 922 docs, 565 edges):
+
+    - ``localCheckpoint`` each round, not bare ``persist``: persist
+      caches the DATA but the logical plan still deepens every round,
+      and re-analysis made round cost GROW 18→104 s by round 4.
+      Truncating lineage holds rounds at join-cost.  (On a multi-
+      executor cluster with dynamic allocation, prefer a reliable
+      ``checkpoint()`` dir — localCheckpoint blocks die with their
+      executor; same plan shape either way.)
+    - path halving: each round also resolves every label through the
+      label table (``label[d] ← label[label[d]]``, one extra ids-only
+      equi join — cluster labels are themselves doc ids, so the lookup
+      always hits).  Chain convergence becomes O(log diameter) instead
+      of O(diameter): the measured chain corpus converges in 4 rounds
+      instead of 9+.
+    """
+    edges = edges.persist()  # adj's two union branches share one compute
     adj = (
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
             edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
-        .persist()
+        .localCheckpoint()
     )
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).persist()
+    edges.unpersist()
+    labels = docs.select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    ).localCheckpoint()
     for _ in range(max_iter):
         neighbor_min = adj.join(
             labels, adj["dst"] == labels["doc_id"]
         ).select(F.col("src").alias("doc_id"), "cluster_id")
-        new_labels = (
+        merged = (
             labels.unionByName(neighbor_min)
             .groupBy("doc_id")
             .agg(F.min("cluster_id").alias("cluster_id"))
-            .persist()
+        )
+        parent = merged.select(
+            F.col("doc_id").alias("p_id"), F.col("cluster_id").alias("p_cid")
+        )
+        new_labels = (
+            merged.join(parent, merged["cluster_id"] == parent["p_id"])
+            .select(
+                "doc_id",
+                F.least("cluster_id", "p_cid").alias("cluster_id"),
+            )
+            .localCheckpoint()
         )
         changed = (
             labels.alias("o")
@@ -520,7 +552,6 @@ def connected_components(
             .filter(F.col("o.cluster_id") != F.col("n.cluster_id"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
@@ -529,7 +560,6 @@ def connected_components(
             f"label propagation did not converge in {max_iter} rounds — "
             "component diameter exceeds the bound; use pointer doubling"
         )
-    adj.unpersist()
     return labels.select(
         "doc_id",
         "cluster_id",
