@@ -111,6 +111,9 @@ def main() -> None:
             "text_quality_scores",
             "text_repetition_filters",  # round-3: Gopher repetition signals
             "corpus_splits",  # round-3: deterministic split assignment
+            "corpus_pack",  # round-3: sequence packing (sharded prefix sums)
+            "dedup_incremental",  # round-3: batch-vs-corpus broadcast dedup
+            "extract_links",  # round-3: link harvest (explode forces the UDF)
             "rel_pricing_summary",
             "rel_top_revenue_nations",
             "rel_asof_join",

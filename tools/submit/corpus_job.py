@@ -1,0 +1,196 @@
+#!/usr/bin/env python3
+"""Cluster entrypoint: transcripts → training corpus, end to end.
+
+    bash tools/submit/make_zip.sh                    # → dist/engine.zip
+    spark-submit --driver-memory 16g --py-files dist/engine.zip \
+        tools/submit/corpus_job.py \
+        --input  <dir containing transcript parquet> \
+        --work   <scratch dir for stage checkpoints> \
+        --output <output dir> \
+        [--seq-len 2048] [--pack-groups 8] [--shuffle-partitions N]
+
+The whole training-data pipeline as ONE submitted job, composed from the
+oracled operators:
+
+  1. EXTRACT    flagship main-content extraction over every turn
+                (salted one-shuffle Arrow stage), kept turns become
+                corpus documents
+  2. QUALITY    Gopher/C4 repetition gates (zero-shuffle projections)
+  3. DEDUP      exact + verified near-dup connected components →
+                keeper semi-join (ids-only joins; text never shuffles
+                for clustering)
+  4. DECONTAM   eval-set word-8-gram overlap, eval grams broadcast
+  5. SPLIT      deterministic md5-bucket train/val/test assignment
+                (pure projection, stable under incremental ingest)
+  6. PACK       fixed-seq_len sequence packing of the train split
+                (sharded prefix sums — only (doc_id, n_tokens) rows
+                shuffle)
+
+Every stage boundary is a parquet checkpoint under --work: exactly the
+materialization points a 100 TB run needs for restart, and each stage's
+reader prunes to the columns it uses.  Document ids are
+xxhash64(conv_id, turn_idx) — stable under reprocessing and cheap at
+10^12 turns (collision odds ~n²/2⁶⁵; a 128-bit md5 pair upgrade is the
+documented path if that ever matters).  Metrics: one JSON line per
+stage (rows in/out, wall seconds) in <output>/metrics.json.
+
+In local[...] mode the driver heap IS the whole cluster's memory —
+spark-submit defaults to 1g, which OOMs on the clustering persist; pass
+--driver-memory.  On a real cluster executor memory carries the work
+and the driver only holds per-round convergence counts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="transcripts parquet dir")
+    ap.add_argument("--work", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--seq-len", type=int, default=2048)
+    ap.add_argument("--pack-groups", type=int, default=8)
+    ap.add_argument("--n-hashes", type=int, default=128)
+    ap.add_argument("--n-bands", type=int, default=16)
+    ap.add_argument("--gram-width", type=int, default=8)
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from html_parser_spark.operators import chunking, sampling, textstats
+    from html_parser_spark.operators.dedup import (
+        dedup_cluster_keep_list,
+        decontaminate,
+    )
+    from html_parser_spark.operators.pipeline import run_extraction
+    from html_parser_spark.plans.session import get_spark
+
+    spark = get_spark(
+        app_name="corpus-pipeline",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    metrics: list[dict] = []
+
+    def stage(name: str, n_in: int, n_out: int, t0: float) -> None:
+        metrics.append(
+            {
+                "stage": name,
+                "rows_in": n_in,
+                "rows_out": n_out,
+                "wall_sec": round(time.time() - t0, 2),
+            }
+        )
+        print(json.dumps(metrics[-1]))
+
+    def docs_dir(stage_name: str) -> str:
+        return os.path.join(args.work, stage_name)
+
+    def write_docs(df, stage_name: str) -> str:
+        d = docs_dir(stage_name)
+        df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        return d
+
+    # 1. EXTRACT — turns with non-empty extracted text become documents
+    t0 = time.time()
+    transcripts = spark.read.parquet(args.input)
+    n_turns = transcripts.count()
+    extracted = run_extraction(transcripts)
+    docs = extracted.filter(F.length("main_text") > 0).select(
+        F.xxhash64("conv_id", "turn_idx").alias("doc_id"),
+        F.col("main_text").alias("text"),
+        F.lit("transcripts").alias("source"),
+        F.length("main_text").cast("long").alias("n_chars"),
+    )
+    d1 = write_docs(docs, "extracted")
+    n1 = spark.read.parquet(f"{d1}/documents.parquet").count()
+    stage("extract", n_turns, n1, t0)
+
+    # 2. QUALITY — Gopher/C4 repetition gates
+    t0 = time.time()
+    keep = textstats.repetition_filters(spark, d1).filter(
+        F.col("gopher_keep") == 1
+    ).select("doc_id")
+    q = spark.read.parquet(f"{d1}/documents.parquet").join(
+        keep, "doc_id", "left_semi"
+    )
+    d2 = write_docs(q, "quality")
+    n2 = spark.read.parquet(f"{d2}/documents.parquet").count()
+    stage("quality", n1, n2, t0)
+
+    # 3. DEDUP — exact + verified near-dup clusters, keep representatives
+    t0 = time.time()
+    clusters = dedup_cluster_keep_list(
+        spark, d2, n_hashes=args.n_hashes, n_bands=args.n_bands
+    ).persist()
+    clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
+    keepers = clusters.filter(F.col("is_keeper") == 1).select("doc_id")
+    deduped = spark.read.parquet(f"{d2}/documents.parquet").join(
+        keepers, "doc_id", "left_semi"
+    )
+    d3 = write_docs(deduped, "deduped")
+    clusters.unpersist()
+    n3 = spark.read.parquet(f"{d3}/documents.parquet").count()
+    stage("dedup", n2, n3, t0)
+
+    # 4. DECONTAM — drop training docs sharing 8-grams with the eval slice
+    t0 = time.time()
+    contaminated = decontaminate(spark, d3, gram_width=args.gram_width).select(
+        "doc_id"
+    )
+    clean = spark.read.parquet(f"{d3}/documents.parquet").join(
+        contaminated, "doc_id", "left_anti"
+    )
+    d4 = write_docs(clean, "clean")
+    n4 = spark.read.parquet(f"{d4}/documents.parquet").count()
+    stage("decontaminate", n3, n4, t0)
+
+    # 5. SPLIT — deterministic assignment, written alongside the corpus
+    t0 = time.time()
+    splits = sampling.corpus_splits(spark, d4)
+    splits.write.mode("overwrite").parquet(f"{args.output}/splits")
+    spark.read.parquet(f"{d4}/documents.parquet").write.mode(
+        "overwrite"
+    ).parquet(f"{args.output}/documents")
+    n_train = splits.filter(F.col("split") == "train").count()
+    stage("split", n4, n_train, t0)
+
+    # 6. PACK — fixed-length training sequences over the train split only.
+    # pack_sequences shards by a doc_id hash, so restricting to the train
+    # docs first keeps the shard prefix sums train-only.
+    t0 = time.time()
+    train_dir = docs_dir("train")
+    spark.read.parquet(f"{d4}/documents.parquet").join(
+        splits.filter(F.col("split") == "train").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    ).write.mode("overwrite").parquet(f"{train_dir}/documents.parquet")
+    packed = chunking.pack_sequences(
+        spark, train_dir, seq_len=args.seq_len, n_groups=args.pack_groups
+    )
+    packed.write.mode("overwrite").parquet(f"{args.output}/sequences")
+    n_seq = (
+        spark.read.parquet(f"{args.output}/sequences")
+        .select("group_id", "seq_id")
+        .distinct()
+        .count()
+    )
+    stage("pack", n_train, n_seq, t0)
+
+    os.makedirs(args.output, exist_ok=True)
+    with open(f"{args.output}/metrics.json", "w") as f:
+        for m in metrics:
+            f.write(json.dumps(m) + "\n")
+    print(json.dumps({"stages": metrics}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
