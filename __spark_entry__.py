@@ -39,6 +39,7 @@ from html_parser_spark.operators import (
 )
 from html_parser_spark.functions.display import display_expr, tokenize_udf
 from html_parser_spark.operators.pipeline import (
+    assemble_conversations,
     extraction_metrics,
     run_dom_extraction,
     run_extraction,
@@ -224,6 +225,26 @@ def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunking.pack_sequences(spark, sf_dir, seq_len=512, n_groups=4)
 
 
+def _conv_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level corpus assembly (ordered turn concatenation,
+    md5-fingerprinted for the gate)."""
+    return assemble_conversations(_transcripts(spark, _sf_of(sf_dir)))
+
+
+def _conv_assemble_oracle() -> str:
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR")
+    path = ensure_transcripts(_sf_of(sf_dir) if sf_dir else 0.01)
+    return f"""
+    SELECT conv_id,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS text_md5,
+           CAST(length(string_agg(text, chr(10) ORDER BY turn_idx)) AS BIGINT)
+             AS n_chars
+    FROM read_parquet('{path}')
+    GROUP BY conv_id ORDER BY conv_id
+    """
+
+
 def _conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandas grouped-map rollup over the transcript corpus."""
     return udx.conversation_stats(
@@ -345,6 +366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokens_kind_counts": _token_kind_counts,
         "display_roundtrip": _display_roundtrip,
         "conversation_stats": _conv_stats,
+        "conversation_assembly": _conv_assemble,
         # deduplication family
         "dedup_exact": dedup.exact_duplicates,
         "dedup_keep_list": dedup.dedup_keep_list,
@@ -426,6 +448,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": similarity.lsh_topk_sql(),
         "ann_ivf_topk": similarity.ivf_topk_sql(),
         "conversation_stats": _conv_stats_oracle(),
+        "conversation_assembly": _conv_assemble_oracle(),
         "text_token_stats": TOKEN_STATS_SQL,
         "text_quality_scores": textstats.quality_scores_sql(),
         "text_langid": textstats.langid_sql(),

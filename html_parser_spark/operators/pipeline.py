@@ -275,3 +275,35 @@ def extraction_metrics(extracted: DataFrame) -> DataFrame:
         F.sum("n_kept_blocks").alias("kept_blocks"),
         F.sum("n_blocks").alias("blocks"),
     )
+
+
+def assemble_conversations(df: DataFrame) -> DataFrame:
+    """Conversation-level corpus assembly: one row per conversation with
+    its turns joined in (conv_id, turn_idx) order — the unit a
+    conversation-tuned training run actually consumes.
+
+    ``text_md5`` fingerprints the assembled text so the driver gate
+    hashes 32 bytes per conversation instead of megabytes; real
+    consumers drop the md5 and keep ``full_text``.
+
+    Scale shape: ONE shuffle on conv_id (map-side partial collect_list),
+    ordering restored inside each group by array_sort on the
+    (turn_idx, text) struct — no global sort, no window.  Long-
+    conversation skew is bounded by the corpus's max conversation size
+    (the same P99 the salted extraction handles); a conversation is the
+    atomic output unit here, so it must land on one reducer by
+    definition."""
+    collected = (
+        df.select("conv_id", "turn_idx", "text")
+        .groupBy("conv_id")
+        .agg(F.collect_list(F.struct("turn_idx", "text")).alias("turns"))
+    )
+    full_text = F.concat_ws(
+        "\n", F.transform(F.array_sort("turns"), lambda s: s["text"])
+    )
+    return collected.select(
+        "conv_id",
+        F.size("turns").cast("long").alias("n_turns"),
+        F.md5(full_text).alias("text_md5"),
+        F.length(full_text).cast("long").alias("n_chars"),
+    ).orderBy("conv_id")

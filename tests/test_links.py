@@ -90,3 +90,28 @@ def test_spark_matches_pure_python(spark):
         for r in extract_links(text)
     )
     assert got == want
+
+
+def test_links_robustness_fuzz():
+    """Adversarial garbage in → no crash, invariants out (same pattern
+    as the tree/DOM/PDF robustness fuzz): hrefs non-null, link_idx
+    contiguous from 0, spans either the (-1, -1) empty sentinel or a
+    valid in-bounds range."""
+    import random
+
+    atoms = [
+        "<a", "<a>", "</a>", "<a href=", "<a href='", '<a href="',
+        "href=x", "/>", ">", "<", "&amp;", "&#x41;", "&", "a", " ",
+        "<b>", "</b>", "<!--", "-->", "<a href=a href=b>", "\x00",
+        "<A HREF=U>", "</A>", "é", '"', "'", "=", "<a/>", "<a >",
+    ]
+    rng = random.Random(20260817)
+    for _ in range(400):
+        text = "".join(rng.choice(atoms) for _ in range(rng.randint(0, 25)))
+        links = extract_links(text)
+        for i, r in enumerate(links):
+            assert r["link_idx"] == i
+            assert r["href"] is not None
+            s, e = r["src_start"], r["src_end"]
+            if (s, e) != (-1, -1):
+                assert 0 <= s <= e <= len(text), (text, r)

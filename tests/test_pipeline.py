@@ -176,3 +176,21 @@ def test_edge_inputs_flow_through(spark):
     assert got[3].main_text == "" and got[3].n_blocks == 0
     assert got[4].main_text == "x" * 100_000
     assert got[5].main_text == "y" * 50_000
+
+
+def test_assemble_conversations_orders_turns(spark):
+    """Assembly is (conv_id, turn_idx)-ordered regardless of input order,
+    and the md5 fingerprints the joined text exactly."""
+    import hashlib
+
+    from html_parser_spark.operators.pipeline import assemble_conversations
+
+    rows = [("c1", 2, "third"), ("c1", 0, "first"), ("c1", 1, "second"),
+            ("c2", 0, "solo")]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    got = {r.conv_id: r for r in assemble_conversations(df).collect()}
+    joined = "first\nsecond\nthird"
+    assert got["c1"].n_turns == 3
+    assert got["c1"].n_chars == len(joined)
+    assert got["c1"].text_md5 == hashlib.md5(joined.encode()).hexdigest()
+    assert got["c2"].text_md5 == hashlib.md5(b"solo").hexdigest()
