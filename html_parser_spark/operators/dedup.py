@@ -118,14 +118,20 @@ def minhash_signatures(
     md5('s|' || shingle) — md5-hex min is a valid exchangeable hash family
     and is bit-identical in DuckDB."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    sh = _shingles()
+    # Generate barrier: explode of a 1-element array materializes the
+    # shingle pipeline ONCE per row.  Referencing the shingle EXPRESSION
+    # from every mh column instead lets CollapseProject inline it 128×
+    # (no CSE once the fused projection exceeds codegen limits) —
+    # measured 151 s → 9 s for the 128-column signature materialization
+    # on a 9.2k-doc extracted corpus (BENCH.md round-3 session 2).
+    sh1 = docs.select("doc_id", F.explode(F.array(_shingles())).alias("sh"))
     cols = [
         F.array_min(
-            F.transform(sh, lambda x: F.md5(F.concat(F.lit(f"{s}|"), x)))
+            F.transform(F.col("sh"), lambda x: F.md5(F.concat(F.lit(f"{s}|"), x)))
         ).alias(f"mh{s}")
         for s in range(n_hashes)
     ]
-    return docs.select("doc_id", *cols)
+    return sh1.select("doc_id", *cols)
 
 
 def minhash_signatures_sql(
