@@ -392,6 +392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_distinct_counts": textstats.distinct_counts,
         "text_ngram_topk": textstats.ngram_topk,
         "text_repetition_filters": textstats.repetition_filters,
+        "text_vocab_coverage": textstats.vocab_coverage,
         "text_distinct_approx": textstats.distinct_counts_approx,
         # deterministic splits / sampling (scan -> project, no shuffle)
         "corpus_splits": sampling.corpus_splits,
@@ -457,6 +458,7 @@ def oracle_sql() -> dict[str, str]:
         "text_distinct_counts": textstats.distinct_counts_sql(),
         "text_ngram_topk": textstats.ngram_topk_sql(),
         "text_repetition_filters": textstats.repetition_filters_sql(),
+        "text_vocab_coverage": textstats.vocab_coverage_sql(),
         "corpus_splits": sampling.corpus_splits_sql(),
         "corpus_sample": sampling.sample_documents_sql(),
         "corpus_chunks": chunking.chunk_documents_sql(),

@@ -557,3 +557,84 @@ def ngram_topk_sql(table: str = "documents", n_top: int = 20) -> str:
     FROM g GROUP BY gram
     ORDER BY n_occurrences DESC, gram LIMIT {n_top}
     """
+
+
+def vocab_coverage(
+    spark: SparkSession, sf_dir: str, vocab_k: int = 1000
+) -> DataFrame:
+    """CCNet/C4-family vocabulary-coverage quality signal: build the
+    top-``vocab_k`` corpus vocabulary (by total occurrence count, ties
+    broken lexicographically so both engines agree), then score every
+    document by how much of it falls OUTSIDE that vocabulary —
+    high-OOV documents are gibberish, boilerplate soup, or the wrong
+    language.  One row per document with ≥1 word: ``(doc_id, n_words,
+    n_oov, oov_bp)``; integer arithmetic end to end except the final
+    basis-point floor (the repo's cross-engine contract).
+
+    The published variant scores against a FIXED LM vocabulary; the
+    corpus-derived top-K here is the deterministic, no-external-data
+    stand-in with the same plan shape.  Log-probability scoring is
+    deliberately NOT offered cross-engine: JVM and libm ``log`` may
+    disagree in the last ulp, and a hash gate cannot tolerate
+    floor-boundary flips.
+
+    Plan at 100 TB: vocabulary = explode → map-side-combined count →
+    TakeOrderedAndProject (the vocabulary is LM-sized, 10^5-10^6 rows)
+    → BROADCAST to the scoring join, so the corpus-side explode never
+    shuffles for membership; scoring is one partial+final agg keyed on
+    doc_id."""
+    from .dedup import _norm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = (
+        docs.select("doc_id", F.explode(F.split(_norm(), " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("w"))
+        .limit(vocab_k)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        words.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("n_oov").cast("long").alias("n_oov"),
+            F.floor(
+                F.col("n_oov").cast("double") / F.col("n_words") * 10000
+            ).cast("long").alias("oov_bp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def vocab_coverage_sql(table: str = "documents", vocab_k: int = 1000) -> str:
+    from .dedup import NORM_SQL
+
+    return f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split({NORM_SQL}, ' ')) AS w
+      FROM {table}),
+    ww AS (SELECT doc_id, w FROM w WHERE w <> ''),
+    v AS (
+      SELECT w FROM ww GROUP BY w
+      ORDER BY count(*) DESC, w ASC LIMIT {vocab_k})
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(CASE WHEN ww.w IN (SELECT w FROM v) THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_oov,
+           CAST(floor(CAST(sum(CASE WHEN ww.w IN (SELECT w FROM v)
+                                    THEN 0 ELSE 1 END) AS DOUBLE)
+                      / count(*) * 10000) AS BIGINT) AS oov_bp
+    FROM ww GROUP BY doc_id ORDER BY doc_id
+    """

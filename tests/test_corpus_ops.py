@@ -191,3 +191,44 @@ def test_repetition_filters_random_docs_vs_python(spark, tmp_path):
         }
         have = {k: got[doc_id][k] for k in want}
         assert have == want, (doc_id, repr(text), have, want)
+
+
+def test_vocab_coverage_semantics(spark, tmp_path):
+    """Crafted corpus with a known top-K vocabulary: common words are
+    in-vocab, rare words are OOV, and the basis-point floor is exact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [1, 2, 3],
+                # 'the' x5, 'cat' x4, 'sat' x3 dominate; zz/qq/jj are rare
+                "text": [
+                    "the cat sat the cat",
+                    "the cat sat zz",
+                    "the cat sat the qq jj",
+                ],
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    rows = {
+        r.doc_id: r
+        for r in textstats.vocab_coverage(spark, str(tmp_path), vocab_k=3).collect()
+    }
+    assert (rows[1].n_words, rows[1].n_oov, rows[1].oov_bp) == (5, 0, 0)
+    assert (rows[2].n_words, rows[2].n_oov, rows[2].oov_bp) == (4, 1, 2500)
+    assert (rows[3].n_words, rows[3].n_oov, rows[3].oov_bp) == (6, 2, 3333)
+
+
+def test_vocab_coverage_broadcasts_vocabulary(spark):
+    """The membership join must broadcast the LM-sized vocabulary — the
+    corpus-side explode never shuffles for it."""
+    plan = (
+        textstats.vocab_coverage(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
