@@ -212,6 +212,13 @@ def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.decontaminate(spark, sf_dir, gram_width=4)
 
 
+def _decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefilter scale path for decontamination — provably the
+    same output as `dedup_decontaminate` (no false negatives + exact
+    verify join), so it shares that query's oracle."""
+    return dedup.decontaminate_bloom(spark, sf_dir, gram_width=4)
+
+
 def _incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """New-ingest-batch dedup vs the existing corpus at the gate's 8/4
     MinHash geometry (operator default is 128/16)."""
@@ -377,6 +384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": dedup.simhash_near_dups,
         "dedup_cluster_keep_list": _cluster_keep_list,
         "dedup_decontaminate": _decontaminate,
+        "dedup_decontaminate_bloom": _decontaminate_bloom,
         "dedup_incremental": _incremental_dedup,
         "dedup_embedding_cosine": similarity.embedding_near_dups,
         # similarity search
@@ -444,6 +452,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": dedup.simhash_near_dups_sql(),
         "dedup_cluster_keep_list": dedup.dedup_cluster_keep_list_sql(**_gate_mh()),
         "dedup_decontaminate": dedup.decontaminate_sql(gram_width=4),
+        "dedup_decontaminate_bloom": dedup.decontaminate_sql(gram_width=4),
         "dedup_incremental": dedup.incremental_dedup_sql(**_gate_mh()),
         "ann_cosine_topk": similarity.cosine_topk_sql(),
         "ann_lsh_topk": similarity.lsh_topk_sql(),

@@ -930,3 +930,78 @@ def incremental_dedup_sql(
     LEFT JOIN agg ON agg.doc_id = d.doc_id
     ORDER BY d.doc_id
     """
+
+
+def decontaminate_bloom(
+    spark: SparkSession,
+    sf_dir: str,
+    eval_modulus: int = 25,
+    gram_width: int = 8,
+    num_bits: int = 1 << 17,
+    n_seeds: int = 4,
+) -> DataFrame:
+    """Bloom-prefiltered twin of :func:`decontaminate` — IDENTICAL output
+    (same oracle), different scale path.  ``decontaminate`` broadcasts
+    the distinct eval-gram RELATION; once the eval suite grows past
+    broadcast size, that stops working.  Here the eval grams are folded
+    into an explicit Bloom bitmap (``n_seeds`` xxhash64 probes into
+    ``num_bits`` bits — built with one tiny aggregation; Spark 4 does
+    not expose ``bloom_filter_agg`` to the public catalog, so the
+    sketch is constructed from first principles), carried into the scan
+    as a hex-string literal and tested with ``conv``+``getbit`` inside
+    WholeStageCodegen — the training corpus prefilters ITSELF locally
+    and only true hits plus the fpp tail ever shuffle.  Blooms have no
+    false negatives, so the exact join over the surviving sliver
+    reproduces the exact answer; that verify join is a plain shuffle
+    join by design — forcing broadcast there would defeat the premise
+    that the eval side outgrew broadcast.
+
+    Sizing: fpp ≈ (1 - e^(-kn/m))^k; the 2^17-bit default is ~zero fpp
+    for benchmark-suite gram counts and costs a 32 KB plan literal.  At
+    10^9-gram suites use 10 bits/gram and ship the bitmap as a
+    broadcast variable + pandas UDF instead of a literal; the plan
+    shape (local prefilter → exact verify) is unchanged.  The one
+    driver-side action materializes only bit positions — the same
+    driver footprint any trained-artifact export has."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    grams = _word_ngrams(gram_width)
+    is_eval = F.col("doc_id") % eval_modulus == 0
+    eval_grams = (
+        docs.filter(is_eval).select(F.explode(grams).alias("gram")).distinct()
+    )
+
+    def _positions(frame):
+        seeds = F.explode(
+            F.array(*[F.lit(str(i)) for i in range(n_seeds)])
+        ).alias("seed")
+        out = frame.select("gram", seeds)
+        return out.select(
+            F.pmod(F.xxhash64("seed", "gram"), F.lit(num_bits)).alias("pos")
+        )
+
+    # one tiny aggregation: the distinct bit positions of the eval grams
+    nibbles = [0] * (num_bits // 4)
+    for (p,) in _positions(eval_grams).distinct().collect():
+        nibbles[p // 4] |= 1 << (p % 4)
+    hexmap = "".join("%x" % v for v in nibbles)
+
+    train = docs.filter(~is_eval).select(
+        "doc_id", F.explode(grams).alias("gram")
+    )
+    might = None
+    for i in range(n_seeds):
+        pos = F.pmod(F.xxhash64(F.lit(str(i)), F.col("gram")), F.lit(num_bits))
+        nib = F.conv(
+            F.substr(F.lit(hexmap), (pos / 4).cast("int") + 1, F.lit(1)),
+            16,
+            10,
+        ).cast("long")
+        hit = F.call_function("getbit", nib, pos % 4) == 1
+        might = hit if might is None else (might & hit)
+    candidates = train.filter(might)
+    return (
+        candidates.join(eval_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .orderBy("doc_id")
+    )
