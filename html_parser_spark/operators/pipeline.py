@@ -307,3 +307,76 @@ def assemble_conversations(df: DataFrame) -> DataFrame:
         F.md5(full_text).alias("text_md5"),
         F.length(full_text).cast("long").alias("n_chars"),
     ).orderBy("conv_id")
+
+
+def run_extraction_with_links(
+    df: DataFrame,
+    *,
+    num_partitions: int | None = None,
+    salt_k: int = 8,
+) -> DataFrame:
+    """Single-pass extraction + link harvest: one tokenize per turn feeds
+    BOTH the main-content policy and the link policy, so a pipeline that
+    wants text and the link graph pays one UDF stage instead of two —
+    tokenization dominates both operators (bench: extract 6.7 s +
+    links 12.9 s separately at sf0.1; this fuses the common pass).
+
+    Output = ``run_extraction`` columns + a ``links`` array column with
+    the ``run_link_extraction`` struct contract (explode it for the
+    per-link table).  Same salted one-shuffle physical shape."""
+    from ..functions.extract import extract_from_tokens
+    from ..functions.links import links_from_tokens
+    from ..functions.tokenizer import tokenize
+    from .linkops import LINK
+
+    schema = StructType(
+        EXTRACT_SCHEMA.fields + [StructField("links", ArrayType(LINK))]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def _frame(texts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in texts:
+            if t is None:
+                rows.append(("", [], 0, "null_input", 0, 0, 0, []))
+                continue
+            tokens, status, err = tokenize(t)
+            r = extract_from_tokens(tokens, status, err)
+            links = [
+                (
+                    lk["link_idx"],
+                    lk["href"],
+                    lk["anchor_text"],
+                    lk["src_start"],
+                    lk["src_end"],
+                )
+                for lk in links_from_tokens(tokens)
+            ]
+            rows.append(
+                (
+                    r["main_text"],
+                    [(s[0], s[1]) for s in r["spans"]],
+                    r["err_count"],
+                    r["parse_status"],
+                    r["n_tokens"],
+                    r["n_blocks"],
+                    r["n_kept_blocks"],
+                    links,
+                )
+            )
+        return pd.DataFrame(rows, columns=cols)
+
+    @pandas_udf(schema)
+    def fused_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for texts in batches:
+            yield _frame(texts)
+
+    in_cols = ["conv_id", "turn_idx", "text"]
+    return _salted_udf_stage(
+        df.select(*in_cols),
+        fused_udf(F.col("text")),
+        cols,
+        in_cols,
+        num_partitions,
+        salt_k,
+    )

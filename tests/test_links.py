@@ -115,3 +115,37 @@ def test_links_robustness_fuzz():
             s, e = r["src_start"], r["src_end"]
             if (s, e) != (-1, -1):
                 assert 0 <= s <= e <= len(text), (text, r)
+
+
+def test_fused_extraction_links_matches_separate(spark):
+    """run_extraction_with_links must reproduce both separate operators
+    exactly — same extraction columns, same exploded link rows."""
+    from pyspark.sql import functions as F
+
+    from html_parser_spark.fixtures import ensure_transcripts
+    from html_parser_spark.operators.linkops import run_link_extraction
+    from html_parser_spark.operators.pipeline import (
+        run_extraction,
+        run_extraction_with_links,
+    )
+
+    df = spark.read.parquet(ensure_transcripts(0.001))
+    fused = run_extraction_with_links(df, num_partitions=8)
+    ext_cols = [c for c in fused.columns if c != "links"]
+
+    got_ext = sorted(map(str, fused.select(*ext_cols).collect()))
+    want_ext = sorted(map(str, run_extraction(df, num_partitions=8).collect()))
+    assert got_ext == want_ext
+
+    got_links = sorted(
+        map(
+            tuple,
+            fused.select(
+                "conv_id", "turn_idx", F.explode("links").alias("lk")
+            ).select("conv_id", "turn_idx", "lk.*").collect(),
+        )
+    )
+    want_links = sorted(
+        map(tuple, run_link_extraction(df, num_partitions=8).collect())
+    )
+    assert got_links == want_links
