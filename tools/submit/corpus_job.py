@@ -12,9 +12,10 @@
 The whole training-data pipeline as ONE submitted job, composed from the
 oracled operators:
 
-  1. EXTRACT    flagship main-content extraction over every turn
-                (salted one-shuffle Arrow stage), kept turns become
-                corpus documents
+  1. EXTRACT    fused main-content + link-graph extraction over every
+                turn (ONE tokenize per turn feeds both policies; salted
+                one-shuffle Arrow stage): kept turns become corpus
+                documents, harvested links become <output>/links
   2. QUALITY    Gopher/C4 repetition gates (zero-shuffle projections)
   3. DEDUP      exact + verified near-dup connected components →
                 keeper semi-join (ids-only joins; text never shuffles
@@ -69,7 +70,7 @@ def main() -> None:
         dedup_cluster_keep_list,
         decontaminate,
     )
-    from html_parser_spark.operators.pipeline import run_extraction
+    from html_parser_spark.operators.pipeline import run_extraction_with_links
     from html_parser_spark.plans.session import get_spark
 
     spark = get_spark(
@@ -98,12 +99,23 @@ def main() -> None:
         df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
         return d
 
-    # 1. EXTRACT — turns with non-empty extracted text become documents
+    # 1. EXTRACT — turns with non-empty extracted text become documents;
+    # the SAME tokenize pass harvests the link graph (written once here,
+    # before dedup — provenance should cover removed near-dups too)
     t0 = time.time()
     transcripts = spark.read.parquet(args.input)
     n_turns = transcripts.count()
-    extracted = run_extraction(transcripts)
-    docs = extracted.filter(F.length("main_text") > 0).select(
+    extracted = run_extraction_with_links(transcripts)
+    extracted.write.mode("overwrite").parquet(
+        os.path.join(args.work, "fused")
+    )
+    fused = spark.read.parquet(os.path.join(args.work, "fused"))
+    fused.filter(F.size("links") > 0).select(
+        "conv_id", "turn_idx", F.explode("links").alias("lk")
+    ).select("conv_id", "turn_idx", "lk.*").write.mode("overwrite").parquet(
+        f"{args.output}/links"
+    )
+    docs = fused.filter(F.length("main_text") > 0).select(
         F.xxhash64("conv_id", "turn_idx").alias("doc_id"),
         F.col("main_text").alias("text"),
         F.lit("transcripts").alias("source"),
