@@ -356,14 +356,69 @@ def repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     opposite formulation (unnest → GROUP BY → window) so the oracle is
     an independent derivation, not an echo."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    lines = F.split("text", "\n")
+
+    # Generate barriers (same lesson as the MinHash signatures, BENCH.md
+    # round-3 session 2): each stage materializes the arrays the next
+    # stage references more than once — without them CollapseProject
+    # fuses everything into one projection where e.g. array_sort(lines)
+    # is inlined ~9x and the run-length bigram aggregate 3x per row
+    # (measured: the quality stage of the sf0.1 corpus job spent 262 s
+    # on 97k extracted docs; the staged form is ~linear).  A barrier is
+    # explode(array(struct(...))): one row in, one row out, no shuffle.
+    def _barrier(frame, **exprs):
+        return frame.select(
+            "doc_id",
+            F.explode(
+                F.array(F.struct(*[e.alias(k) for k, e in exprs.items()]))
+            ).alias("b"),
+        ).select("doc_id", "b.*")
+
+    s1 = _barrier(
+        docs,
+        lines=F.split("text", "\n"),
+        ws=F.split(_tokens_norm(), " "),
+        norm_len=F.length(_tokens_norm()),
+    )
+
+    lines = F.col("lines")
     n_lines = F.size(lines)
-    srt = F.array_sort(lines)
+    bi_n = F.greatest(F.size("ws") - 1, F.lit(0))
+    bigrams = F.when(
+        F.size("ws") < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.zip_with(
+            F.slice("ws", 1, bi_n),
+            F.slice("ws", 2, bi_n),
+            lambda x, y: F.concat_ws(" ", x, y),
+        )
+    )
+    lsum = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+    )
+    s2 = _barrier(
+        s1,
+        n_lines=n_lines,
+        srt=F.array_sort(lines),
+        tot_chars=lsum(F.transform(lines, lambda x: F.length(x))),
+        bullet_cnt=F.size(
+            F.filter(
+                lines,
+                lambda l: F.startswith(F.ltrim(l), F.lit("-"))
+                | F.startswith(F.ltrim(l), F.lit("*")),
+            )
+        ),
+        ellipsis_cnt=F.size(
+            F.filter(lines, lambda l: F.endswith(F.rtrim(l), F.lit("...")))
+        ),
+        bigrams_srt=F.array_sort(bigrams),
+        norm_len=F.col("norm_len"),
+    )
+
     # eq[i] = 1 iff sorted[i] == sorted[i+1]  (length L-1; empty for L=1)
-    run_n = F.greatest(n_lines - 1, F.lit(0))
+    run_n = F.greatest(F.col("n_lines") - 1, F.lit(0))
     eq = F.zip_with(
-        F.slice(srt, 1, run_n),
-        F.slice(srt, 2, run_n),
+        F.slice("srt", 1, run_n),
+        F.slice("srt", 2, run_n),
         lambda a, b: F.when(a == b, F.lit(1)).otherwise(F.lit(0)),
     )
     zero = F.array(F.lit(0))
@@ -371,36 +426,7 @@ def repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_flags = F.zip_with(
         F.concat(zero, eq), F.concat(eq, zero), lambda a, b: F.greatest(a, b)
     )
-    lsum = lambda arr: F.aggregate(  # noqa: E731
-        arr, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
-    )
-    n_dup = lsum(dup_flags)
-    dup_chars = lsum(
-        F.zip_with(srt, dup_flags, lambda x, fl: fl * F.length(x))
-    )
-    tot_chars = lsum(F.transform(lines, lambda x: F.length(x)))
-    bullet_cnt = F.size(
-        F.filter(
-            lines,
-            lambda l: F.startswith(F.ltrim(l), F.lit("-"))
-            | F.startswith(F.ltrim(l), F.lit("*")),
-        )
-    )
-    ellipsis_cnt = F.size(
-        F.filter(lines, lambda l: F.endswith(F.rtrim(l), F.lit("...")))
-    )
 
-    ws = F.split(_tokens_norm(), " ")
-    bi_n = F.greatest(F.size(ws) - 1, F.lit(0))
-    bigrams = F.when(
-        F.size(ws) < 2, F.array().cast("array<string>")
-    ).otherwise(
-        F.zip_with(
-            F.slice(ws, 1, bi_n),
-            F.slice(ws, 2, bi_n),
-            lambda x, y: F.concat_ws(" ", x, y),
-        )
-    )
     # run-length max over the sorted bigram array: one linear aggregate,
     # struct accumulator (prev, run, best, best_gram)
     def _merge(acc, x):
@@ -416,7 +442,7 @@ def repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     top = F.aggregate(
-        F.array_sort(bigrams),
+        F.col("bigrams_srt"),
         F.struct(
             F.lit("").alias("prev"),
             F.lit(0).alias("run"),
@@ -428,18 +454,32 @@ def repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc["best"].alias("cnt"), acc["best_gram"].alias("gram")
         ),
     )
-    top_cnt = top["cnt"].cast("long")
-    top_chars = top["cnt"].cast("long") * F.length(top["gram"])
-    norm_len = F.greatest(F.length(_tokens_norm()), F.lit(1))
+    s3 = _barrier(
+        s2,
+        n_lines=F.col("n_lines"),
+        n_dup=lsum(dup_flags),
+        dup_chars=lsum(
+            F.zip_with(F.col("srt"), dup_flags, lambda x, fl: fl * F.length(x))
+        ),
+        tot_chars=F.col("tot_chars"),
+        bullet_cnt=F.col("bullet_cnt"),
+        ellipsis_cnt=F.col("ellipsis_cnt"),
+        top=top,
+        norm_len=F.col("norm_len"),
+    )
+
+    top_cnt = F.col("top")["cnt"].cast("long")
+    top_chars = F.col("top")["cnt"].cast("long") * F.length(F.col("top")["gram"])
+    norm_len = F.greatest(F.col("norm_len"), F.lit(1))
 
     bp = lambda num, den: F.floor(  # noqa: E731
         num.cast("double") * 10000.0 / F.greatest(den, F.lit(1)).cast("double")
     ).cast("long")
-    dup_line_bp = bp(n_dup, n_lines)
-    dup_char_bp = bp(dup_chars, tot_chars)
+    dup_line_bp = bp(F.col("n_dup"), F.col("n_lines"))
+    dup_char_bp = bp(F.col("dup_chars"), F.col("tot_chars"))
     top_bigram_char_bp = bp(top_chars, norm_len)
-    bullet_line_bp = bp(bullet_cnt, n_lines)
-    ellipsis_line_bp = bp(ellipsis_cnt, n_lines)
+    bullet_line_bp = bp(F.col("bullet_cnt"), F.col("n_lines"))
+    ellipsis_line_bp = bp(F.col("ellipsis_cnt"), F.col("n_lines"))
     keep = (
         (dup_line_bp < 3000)
         & (dup_char_bp < 2000)
@@ -447,9 +487,9 @@ def repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (bullet_line_bp < 9000)
         & (ellipsis_line_bp < 3000)
     )
-    return docs.select(
+    return s3.select(
         "doc_id",
-        n_lines.cast("long").alias("n_lines"),
+        F.col("n_lines").cast("long").alias("n_lines"),
         dup_line_bp.alias("dup_line_bp"),
         dup_char_bp.alias("dup_char_bp"),
         top_cnt.alias("top_bigram_cnt"),
