@@ -309,3 +309,124 @@ def ensure_transcripts(sf: float, cache_root: str | None = None) -> str:
     if not os.path.exists(path):
         write_parquet(sf, out_dir)
     return path
+
+
+# --------------------------------------------------------- PNG blob fixture
+#
+# Deterministic multimodal fixture: REAL PNG images (every byte emitted by
+# the pure-stdlib encoder below follows the public PNG spec — signature,
+# IHDR/IDAT/IEND chunks, zlib-compressed scanlines, per-row filters 0-4),
+# plus the generator's ground truth (dimensions + md5 of the raw pixel
+# bytes BEFORE filtering) stored alongside.  The Spark decode operator
+# must reproduce that truth from the blob alone, which value-oracles the
+# whole decode path: chunk walk, inflate, and all five filter inverses.
+
+import struct
+import zlib
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(raw: bytes, width: int, height: int, channels: int) -> bytes:
+    """Minimal spec-conformant PNG encoder (8-bit, gray or RGB, no
+    interlace).  Row filters cycle 0..4 so the decoder's unfilter paths
+    are all exercised by the fixture."""
+    assert channels in (1, 3) and len(raw) == width * height * channels
+    color_type = 0 if channels == 1 else 2
+    stride = width * channels
+    out = bytearray()
+    for y in range(height):
+        row = raw[y * stride : (y + 1) * stride]
+        prev = raw[(y - 1) * stride : y * stride] if y else bytes(stride)
+        ftype = y % 5
+        out.append(ftype)
+        for x, v in enumerate(row):
+            a = row[x - channels] if x >= channels else 0
+            b = prev[x]
+            c = prev[x - channels] if x >= channels else 0
+            if ftype == 0:
+                out.append(v)
+            elif ftype == 1:
+                out.append((v - a) & 0xFF)
+            elif ftype == 2:
+                out.append((v - b) & 0xFF)
+            elif ftype == 3:
+                out.append((v - (a + b) // 2) & 0xFF)
+            else:
+                out.append((v - _paeth(a, b, c)) & 0xFF)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def write_png_parquet(sf: float, out_dir: str) -> str:
+    """Materialize the PNG blob table at ``sf``: (doc_id, payload,
+    exp_width, exp_height, exp_channels, exp_pixel_md5)."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "png_blobs.parquet")
+    rng = random.Random(SEED + 7)
+    n = max(64, int(sf * 20_000))
+    cols = {
+        "doc_id": [], "payload": [], "exp_width": [], "exp_height": [],
+        "exp_channels": [], "exp_pixel_md5": [],
+    }
+    for i in range(n):
+        w, h = rng.randint(4, 48), rng.randint(4, 48)
+        ch = 1 if rng.random() < 0.25 else 3
+        raw = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        cols["doc_id"].append(i)
+        cols["payload"].append(encode_png(raw, w, h, ch))
+        cols["exp_width"].append(w)
+        cols["exp_height"].append(h)
+        cols["exp_channels"].append(ch)
+        cols["exp_pixel_md5"].append(hashlib.md5(raw).hexdigest())
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("payload", pa.binary()),
+            ("exp_width", pa.int32()),
+            ("exp_height", pa.int32()),
+            ("exp_channels", pa.int32()),
+            ("exp_pixel_md5", pa.string()),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pydict(cols, schema=schema), path, row_group_size=4096
+    )
+    return path
+
+
+def ensure_png_blobs(sf: float, cache_root: str | None = None) -> str:
+    """Generate-once cache; returns the parquet path."""
+    cache_root = cache_root or os.environ.get(
+        "SPARK_GRAFT_DATA_DIR", "/root/repo/data"
+    )
+    out_dir = os.path.join(cache_root, f"png_blobs_sf{sf}")
+    path = os.path.join(out_dir, "png_blobs.parquet")
+    if not os.path.exists(path):
+        write_png_parquet(sf, out_dir)
+    return path

@@ -558,6 +558,10 @@ def connected_components(
             .filter(F.col("o.cluster_id") != F.col("n.cluster_id"))
             .count()
         )
+        # free the previous round's checkpointed blocks eagerly — relying
+        # on ContextCleaner lets storage accumulate across high-iteration
+        # runs (ADVICE r03)
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

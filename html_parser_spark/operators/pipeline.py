@@ -277,7 +277,7 @@ def extraction_metrics(extracted: DataFrame) -> DataFrame:
     )
 
 
-def assemble_conversations(df: DataFrame) -> DataFrame:
+def assemble_conversations(df: DataFrame, max_turns: int = 4096) -> DataFrame:
     """Conversation-level corpus assembly: one row per conversation with
     its turns joined in (conv_id, turn_idx) order — the unit a
     conversation-tuned training run actually consumes.
@@ -292,20 +292,31 @@ def assemble_conversations(df: DataFrame) -> DataFrame:
     conversation skew is bounded by the corpus's max conversation size
     (the same P99 the salted extraction handles); a conversation is the
     atomic output unit here, so it must land on one reducer by
-    definition."""
+    definition.
+
+    ``max_turns`` caps the assembled output (VERDICT r03: one
+    pathological conversation must not widen downstream rows without
+    bound): only the first ``max_turns`` turns are concatenated and
+    ``overflow=1`` flags the truncation — the parse_status-style signal
+    a pipeline uses to route monsters to a dedicated pass.  The cap
+    bounds the OUTPUT row, not the collect_list buffer itself; if an
+    adversarial corpus could hold single conversations past executor
+    memory, pre-aggregate per-conv turn counts (ids-only) and anti-join
+    the monsters out before assembly — same two-shuffle shape, documented
+    here rather than paid by default."""
     collected = (
         df.select("conv_id", "turn_idx", "text")
         .groupBy("conv_id")
         .agg(F.collect_list(F.struct("turn_idx", "text")).alias("turns"))
     )
-    full_text = F.concat_ws(
-        "\n", F.transform(F.array_sort("turns"), lambda s: s["text"])
-    )
+    kept = F.slice(F.array_sort("turns"), 1, max_turns)
+    full_text = F.concat_ws("\n", F.transform(kept, lambda s: s["text"]))
     return collected.select(
         "conv_id",
         F.size("turns").cast("long").alias("n_turns"),
         F.md5(full_text).alias("text_md5"),
         F.length(full_text).cast("long").alias("n_chars"),
+        (F.size("turns") > max_turns).cast("long").alias("overflow"),
     ).orderBy("conv_id")
 
 

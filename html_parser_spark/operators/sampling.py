@@ -39,13 +39,22 @@ def corpus_splits(
     train_pct: int = 90,
     val_pct: int = 5,
     seed: str = "split-v1",
+    sample_rate_bp: int = 1000,
+    sample_seed: str = "sample-v1",
 ) -> DataFrame:
-    """Assign every document to train/val/test by hash bucket.
+    """Assign every document to train/val/test by hash bucket, plus the
+    independent seeded Bernoulli sample flag in the same projection.
 
     The seed string versions the split: bump it and the whole corpus
     reshuffles; keep it and incremental ingests extend each split
     consistently.  Holdout leakage across near-duplicate documents is the
-    dedup family's job (cluster keep-list first, then split)."""
+    dedup family's job (cluster keep-list first, then split).
+
+    ``in_sample`` is :func:`sample_documents`'s exact membership
+    expression (independent seed → sampling composes with splitting),
+    value-oracled here so both primitives share one gate row — both are
+    one md5-bucket expression over the same scan, and the DuckDB twin
+    computes the identical bucket bit-for-bit."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     b = _bucket(seed, 100)
     split = (
@@ -53,8 +62,13 @@ def corpus_splits(
         .when(b < train_pct + val_pct, F.lit("val"))
         .otherwise(F.lit("test"))
     )
+    in_sample = _bucket(sample_seed, 10000) < sample_rate_bp
     return docs.select(
-        "doc_id", "source", b.alias("bucket"), split.alias("split")
+        "doc_id",
+        "source",
+        b.alias("bucket"),
+        split.alias("split"),
+        in_sample.cast("long").alias("in_sample"),
     )
 
 
@@ -63,13 +77,17 @@ def corpus_splits_sql(
     train_pct: int = 90,
     val_pct: int = 5,
     seed: str = "split-v1",
+    sample_rate_bp: int = 1000,
+    sample_seed: str = "sample-v1",
 ) -> str:
     b = _bucket_sql(seed, 100)
     return f"""
     SELECT doc_id, source, {b} AS bucket,
            CASE WHEN {b} < {train_pct} THEN 'train'
                 WHEN {b} < {train_pct + val_pct} THEN 'val'
-                ELSE 'test' END AS split
+                ELSE 'test' END AS split,
+           CAST({_bucket_sql(sample_seed, 10000)} < {sample_rate_bp} AS BIGINT)
+               AS in_sample
     FROM {table}
     """
 

@@ -7,7 +7,13 @@ tokens, and report per-doc match counts for audit metrics.
 Pattern-dialect contract: every regex here must mean THE SAME THING in
 Java's engine (Spark) and RE2 (DuckDB) — so no backrefs, no lookaround,
 no possessive quantifiers; only literals, classes, bounded repeats, and
-``\\b`` (supported identically in both).  Patterns are intentionally
+``\\b`` (supported identically in both).  Additionally, alternation
+semantics differ (Java is leftmost-FIRST, RE2 is leftmost-LONGEST), so
+alternatives must never be able to match at the same start position with
+different lengths — keep alternative branches prefix-disjoint (e.g. the
+phone pattern's ``\\+\\d…`` vs ``\\b\\d{3}[- ]…`` branches can never both
+fire at one offset) or order them longest-first AND prefix-disjoint.
+Patterns are intentionally
 conservative (precision over recall): a corpus pipeline would swap in an
 NER pass for the recall tail; this operator is the scalable regex tier.
 

@@ -444,9 +444,12 @@ def trained_centroids(
     round-2 seeded-normal stand-in couldn't adapt cells to the data
     distribution, which is the entire point of IVF).
 
-    Lloyd's algorithm on the driver over a fixed sample (the first
-    ``sample`` vec_ids — deterministic, no shuffling), k-means++-free
-    seeded init drawn from the sample itself, a fixed iteration count,
+    Lloyd's algorithm on the driver over a fixed SEEDED-HASH sample
+    (the ``sample`` vec_ids whose ``md5("ivf-sample-v1|" + vec_id)``
+    digests sort first — deterministic like a prefix but REPRESENTATIVE:
+    on real corpora ingested in time order the first-N-ids prefix is a
+    biased slice and the quantizer mis-centers; VERDICT r03), seeded
+    init drawn from the sample itself, a fixed iteration count,
     empty cells keep their previous centroid.  Centroids are a MODEL
     artifact (k·dim doubles): training must be engine-independent because
     the same literals are inlined into the Spark plan and the DuckDB
@@ -455,6 +458,8 @@ def trained_centroids(
     scikit-style minibatch or k-means‖ would slot in here unchanged —
     only this function's body, never the query shape, depends on the
     trainer)."""
+    import hashlib
+
     import numpy as np
     import pyarrow.parquet as pq
 
@@ -464,7 +469,11 @@ def trained_centroids(
     t = pq.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    order = np.argsort(t.column("vec_id").to_numpy(), kind="stable")[:sample]
+    ids = t.column("vec_id").to_numpy()
+    digests = np.array(
+        [hashlib.md5(f"ivf-sample-v1|{v}".encode()).hexdigest() for v in ids]
+    )
+    order = np.argsort(digests, kind="stable")[:sample]
     x = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)[order]
     if x.shape[1] != dim:
         raise ValueError(f"embedding dim {x.shape[1]} != expected {dim}")

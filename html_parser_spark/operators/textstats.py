@@ -167,22 +167,57 @@ def langid_sql(table: str = "documents") -> str:
     """
 
 
-def length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def length_quantiles(
+    spark: SparkSession, sf_dir: str, accuracy: int = 10000
+) -> DataFrame:
     """Per-source document-length quantiles — corpus profiling (exact
     ``percentile``: single-pass sort-based; for 100 TB swap to
     ``approx_percentile`` with a documented error bound).  Spark's exact
     interpolation is bit-identical to DuckDB ``quantile_cont`` (verified
-    at sf0.001 and sf0.01), so no rounding is needed."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    at sf0.001 and sf0.01), so no rounding is needed.
+
+    ``approx_rank_ok`` additionally value-checks the Greenwald-Khanna
+    sketch's RANK contract in the same row (VERDICT r03 item 3): for
+    each q, the value ``approx_percentile(q)`` returns must occupy a
+    rank interval ``[#{x<v}+1, #{x≤v}]`` that intersects
+    ``[(q−ε)n, (q+ε)n+1]`` with ε = 0.005 (50× the sketch's guaranteed
+    1/accuracy).  The check is two aggregation passes — sketch first,
+    then a broadcast join back for exact conditional rank counts —
+    because rank counts of an aggregate can't nest in one pass.
+    Deterministic sketch + deterministic data → a stable boolean the
+    DuckDB twin (which cannot evaluate Spark's sketch) oracles as the
+    literal TRUE it must equal."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source", "n_chars"
+    )
+    qs = (0.25, 0.5, 0.9, 0.99)
+    eps = 0.005
+    ap = F.expr(
+        f"approx_percentile(n_chars, array(0.25, 0.5, 0.9, 0.99), {accuracy})"
+    )
+    approx = docs.groupBy("source").agg(ap.alias("ap"))
+    j = docs.join(F.broadcast(approx), "source")
+    n = F.count(F.lit(1))
     q = F.expr("percentile(n_chars, array(0.25, 0.5, 0.9, 0.99))")
+    ok = F.lit(True)
+    for i, qv in enumerate(qs):
+        v = F.col("ap").getItem(i)
+        le = F.sum((F.col("n_chars") <= v).cast("long"))
+        lt = F.sum((F.col("n_chars") < v).cast("long"))
+        ok = (
+            ok
+            & (lt + 1 <= (qv + eps) * n + 1)
+            & (le >= (qv - eps) * n)
+        )
     return (
-        docs.groupBy("source")
+        j.groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
+            n.alias("n_docs"),
             q.getItem(0).alias("p25"),
             q.getItem(1).alias("p50"),
             q.getItem(2).alias("p90"),
             q.getItem(3).alias("p99"),
+            ok.cast("long").alias("approx_rank_ok"),
         )
         .orderBy("source")
     )
@@ -194,24 +229,40 @@ def length_quantiles_sql(table: str = "documents") -> str:
            quantile_cont(n_chars, 0.25) AS p25,
            quantile_cont(n_chars, 0.5)  AS p50,
            quantile_cont(n_chars, 0.9)  AS p90,
-           quantile_cont(n_chars, 0.99) AS p99
+           quantile_cont(n_chars, 0.99) AS p99,
+           CAST(1 AS BIGINT) AS approx_rank_ok
     FROM {table} GROUP BY source ORDER BY source
     """
 
 
-def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def distinct_counts(
+    spark: SparkSession, sf_dir: str, rsd: float = 0.02
+) -> DataFrame:
     """Exact per-source distinct-fingerprint cardinality (dedup-rate
-    profiling).  Exact COUNT DISTINCT shuffles every distinct key — fine
-    at CI scale and as the oracle; the 100 TB path is
-    :func:`distinct_counts_approx`."""
+    profiling) PLUS the HLL++ sketch's error-band check in the same row.
+
+    Exact COUNT DISTINCT shuffles every distinct key — fine at CI scale
+    and as the oracle; the 100 TB path is :func:`distinct_counts_approx`.
+    ``approx_within_5pct`` asserts ``|HLL++(rsd=0.02) − exact| ≤
+    max(5%·exact, 2)`` — the sketch is deterministic for a given input,
+    so the boolean is stable, and the DuckDB twin (which cannot evaluate
+    Spark's sketch) oracles it as the literal TRUE it must equal
+    (VERDICT r03 item 3: this retires the ``no_oracle`` row for the
+    approx sketch by value-checking its error contract at the gate)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    exact = F.count_distinct(F.col("fp"))
+    approx = F.approx_count_distinct("fp", rsd)
+    within = F.abs(approx - exact) <= F.greatest(
+        F.ceil(exact * F.lit(0.05)), F.lit(2)
+    )
     return (
         docs.select("source", F.md5(norm).alias("fp"))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.countDistinct("fp").alias("n_distinct"),
+            exact.alias("n_distinct"),
+            within.cast("long").alias("approx_within_5pct"),
         )
         .orderBy("source")
     )
@@ -221,7 +272,8 @@ def distinct_counts_sql(table: str = "documents") -> str:
     return f"""
     SELECT source, count(*) AS n_docs,
            count(DISTINCT md5(trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g'))))
-               AS n_distinct
+               AS n_distinct,
+           CAST(1 AS BIGINT) AS approx_within_5pct
     FROM {table} GROUP BY source ORDER BY source
     """
 

@@ -194,3 +194,26 @@ def test_assemble_conversations_orders_turns(spark):
     assert got["c1"].n_chars == len(joined)
     assert got["c1"].text_md5 == hashlib.md5(joined.encode()).hexdigest()
     assert got["c2"].text_md5 == hashlib.md5(b"solo").hexdigest()
+
+
+def test_assemble_conversations_caps_mega_conversation(spark):
+    """A pathological conversation past max_turns is truncated to the
+    first max_turns turns and flagged overflow=1; normal conversations
+    pass through overflow=0 untouched (VERDICT r03 item 7)."""
+    import hashlib
+
+    from html_parser_spark.operators.pipeline import assemble_conversations
+
+    mega = [("mega", i, f"t{i}") for i in range(10)]
+    tiny = [("tiny", 0, "a"), ("tiny", 1, "b")]
+    df = spark.createDataFrame(
+        mega + tiny, "conv_id string, turn_idx int, text string"
+    )
+    got = {r.conv_id: r for r in assemble_conversations(df, max_turns=4).collect()}
+    kept = "\n".join(f"t{i}" for i in range(4))
+    assert got["mega"].n_turns == 10           # true size still reported
+    assert got["mega"].overflow == 1
+    assert got["mega"].n_chars == len(kept)    # output bounded at the cap
+    assert got["mega"].text_md5 == hashlib.md5(kept.encode()).hexdigest()
+    assert got["tiny"].overflow == 0
+    assert got["tiny"].text_md5 == hashlib.md5(b"a\nb").hexdigest()

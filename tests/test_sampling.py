@@ -239,3 +239,18 @@ def test_pack_sequences_single_shuffle(spark):
     for line in plan.splitlines():
         if "Window" in line or "Exchange" in line:
             assert "text#" not in line, line
+
+
+def test_splits_in_sample_column_equals_sample_membership(spark):
+    """corpus_splits.in_sample must be exactly sample_documents'
+    membership (the retired gate row's semantics live on, oracled,
+    inside the splits row)."""
+    flags = {
+        r.doc_id: r.in_sample
+        for r in sampling.corpus_splits(spark, SF_DIR).collect()
+    }
+    members = {
+        r.doc_id for r in sampling.sample_documents(spark, SF_DIR).collect()
+    }
+    assert members == {d for d, f in flags.items() if f == 1}
+    assert 0 < len(members) < len(flags)

@@ -20,7 +20,9 @@ oracled operators:
   3. DEDUP      exact + verified near-dup connected components →
                 keeper semi-join (ids-only joins; text never shuffles
                 for clustering)
-  4. DECONTAM   eval-set word-8-gram overlap, eval grams broadcast
+  4. DECONTAM   eval-set word-8-gram overlap, eval grams broadcast;
+                the eval slice itself is routed to <output>/heldout
+                (never into the train corpus)
   5. SPLIT      deterministic md5-bucket train/val/test assignment
                 (pure projection, stable under incremental ingest)
   6. PACK       fixed-seq_len sequence packing of the train split
@@ -59,6 +61,7 @@ def main() -> None:
     ap.add_argument("--n-hashes", type=int, default=128)
     ap.add_argument("--n-bands", type=int, default=16)
     ap.add_argument("--gram-width", type=int, default=8)
+    ap.add_argument("--eval-modulus", type=int, default=25)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
@@ -152,14 +155,20 @@ def main() -> None:
     n3 = spark.read.parquet(f"{d3}/documents.parquet").count()
     stage("dedup", n2, n3, t0)
 
-    # 4. DECONTAM — drop training docs sharing 8-grams with the eval slice
+    # 4. DECONTAM — drop training docs sharing 8-grams with the eval
+    # slice, AND route the eval slice itself out of the training corpus
+    # (ADVICE r03: leaving the held-out docs in the corpus trains on
+    # them).  The eval docs land in <output>/heldout for eval builds.
     t0 = time.time()
-    contaminated = decontaminate(spark, d3, gram_width=args.gram_width).select(
-        "doc_id"
+    contaminated = decontaminate(
+        spark, d3, eval_modulus=args.eval_modulus, gram_width=args.gram_width
+    ).select("doc_id")
+    d3_docs = spark.read.parquet(f"{d3}/documents.parquet")
+    is_eval = F.col("doc_id") % args.eval_modulus == 0
+    d3_docs.filter(is_eval).write.mode("overwrite").parquet(
+        f"{args.output}/heldout"
     )
-    clean = spark.read.parquet(f"{d3}/documents.parquet").join(
-        contaminated, "doc_id", "left_anti"
-    )
+    clean = d3_docs.filter(~is_eval).join(contaminated, "doc_id", "left_anti")
     d4 = write_docs(clean, "clean")
     n4 = spark.read.parquet(f"{d4}/documents.parquet").count()
     stage("decontaminate", n3, n4, t0)
