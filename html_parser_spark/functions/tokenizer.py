@@ -276,6 +276,23 @@ _FAST_CDATA = re.compile(r"<!\[CDATA\[([^\]\x00]*)\]\]>")
 # check to decide whether the run actually continues (unicode alphabetic)
 _ENT_ALPHA_RUN = re.compile(r"[A-Za-z]*")
 
+# memo for the whole-tag fast path, keyed on the EXACT matched source
+# substring.  Web-scale corpora repeat tag strings massively (the fixture
+# corpus: 105k fast-path tag occurrences, 105 distinct strings), so after
+# the first occurrence a tag costs one dict probe instead of
+# finditer + case-fold + entity-decode.  Values are immutable
+# (is_end, name, attrs-as-tuple-of-pairs, self_closing); each hit
+# re-materializes a fresh list-of-lists so token consumers that copy or
+# iterate attrs see exactly the objects the parse path would build.
+# Bounded: cleared wholesale past 64k distinct tags (adversarial inputs
+# with unbounded distinct attribute values must not grow a per-executor
+# dict forever; a clear costs one re-parse per distinct tag).
+_TAG_MEMO: dict = {}
+_TAG_MEMO_MAX = 1 << 16
+# same idea for quoted/unquoted attr values containing '&' reached on a
+# memo MISS (distinct tags sharing one hot value, e.g. a repeated URL)
+_ATTRVAL_MEMO: dict = {}
+
 _ASCII_ALPHA = frozenset(
     "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
 )
@@ -820,20 +837,42 @@ def tokenize(text: str, initial_state: int = DATA):
                     elif c2 == "!":
                         mc = _FAST_COMMENT.match(text, j)
                     if mt is not None:
-                        end_slash, name, g3, sc_slash = mt.group(1, 2, 3, 4)
-                        name = name.lower()  # TAG_NAME A-Z fold (+0x20)
-                        attrs = []
-                        if g3:
-                            for am in _FAST_ATTR.finditer(g3):
-                                v = am.group(2)
-                                if v is None:
-                                    v = ""
-                                else:
-                                    if v[0] == '"' or v[0] == "'":
-                                        v = v[1:-1]
-                                    if "&" in v:
-                                        v = _decode_attr_value(v)
-                                attrs.append([am.group(1), v])
+                        src = mt.group(0)
+                        hit = _TAG_MEMO.get(src)
+                        if hit is not None:
+                            end_slash, name, pairs, sc_slash = hit
+                            attrs = [[a, b] for a, b in pairs]
+                        else:
+                            end_slash, name, g3, sc_slash = mt.group(1, 2, 3, 4)
+                            name = name.lower()  # TAG_NAME A-Z fold (+0x20)
+                            end_slash = end_slash == "/"
+                            sc_slash = sc_slash == "/"
+                            attrs = []
+                            if g3:
+                                for am in _FAST_ATTR.finditer(g3):
+                                    v = am.group(2)
+                                    if v is None:
+                                        v = ""
+                                    else:
+                                        if v[0] == '"' or v[0] == "'":
+                                            v = v[1:-1]
+                                        if "&" in v:
+                                            dv = _ATTRVAL_MEMO.get(v)
+                                            if dv is None:
+                                                if len(_ATTRVAL_MEMO) >= _TAG_MEMO_MAX:
+                                                    _ATTRVAL_MEMO.clear()
+                                                dv = _decode_attr_value(v)
+                                                _ATTRVAL_MEMO[v] = dv
+                                            v = dv
+                                    attrs.append([am.group(1), v])
+                            if len(_TAG_MEMO) >= _TAG_MEMO_MAX:
+                                _TAG_MEMO.clear()
+                            _TAG_MEMO[src] = (
+                                end_slash,
+                                name,
+                                tuple((a[0], a[1]) for a in attrs),
+                                sc_slash,
+                            )
                         if sc_slash:
                             # self-closing bypasses the open-tags stack
                             if run:
