@@ -32,6 +32,7 @@ from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import (
     ArrayType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -51,10 +52,43 @@ SPAN = StructType(
     ]
 )
 
+# Span TRANSPORT encoding (round-4 A/B, VERDICT r03 item 6): the UDFs
+# emit each span as ONE int64 (start<<32 | end) and the projection on
+# top of the UDF unpacks to the public array<struct<start,end>> with a
+# codegen'd transform().  Arrow then moves a primitive list<int64>
+# instead of a list<struct<int32,int32>> built from Python tuples —
+# the tuple→StructArray conversion inside the Python worker was the
+# measurable cost, not the bytes.  The PUBLIC schema (and the driver
+# contract / goldens) is unchanged: `spans` is still
+# array<struct<start,end>> on every DataFrame this module returns.
+# start/end are source offsets < 2^31, so the packed value is always a
+# non-negative int64.
+SPAN_PACKED = ArrayType(LongType())
+
+
+def _span_unpack(col):
+    """packed array<long> → public array<struct<start:int,end:int>>."""
+    return F.transform(
+        col,
+        lambda p: F.struct(
+            F.shiftright(p, 32).cast("int").alias("start"),
+            p.bitwiseAND(F.lit(0xFFFFFFFF)).cast("int").alias("end"),
+        ),
+    )
+
+
+def _proj_ext(name):
+    """Project ``ext.<name>`` out of the UDF struct, unpacking spans."""
+    c = F.col(f"ext.{name}")
+    if name == "spans":
+        c = _span_unpack(c)
+    return c.alias(name)
+
+
 EXTRACT_SCHEMA = StructType(
     [
         StructField("main_text", StringType()),
-        StructField("spans", ArrayType(SPAN)),
+        StructField("spans", SPAN_PACKED),
         StructField("err_count", IntegerType()),
         StructField("parse_status", StringType()),
         StructField("n_tokens", IntegerType()),
@@ -76,7 +110,7 @@ def _extract_frame(texts: pd.Series) -> pd.DataFrame:
         rows.append(
             (
                 r["main_text"],
-                [(s[0], s[1]) for s in r["spans"]],
+                [(s[0] << 32) | s[1] for s in r["spans"]],
                 r["err_count"],
                 r["parse_status"],
                 r["n_tokens"],
@@ -125,7 +159,7 @@ def _salted_udf_stage(
     ext = ordered.withColumn("ext", udf_col)
     return ext.select(
         *[c for c in cols if c != "text"],
-        *[F.col(f"ext.{name}").alias(name) for name in out_cols],
+        *[_proj_ext(name) for name in out_cols],
     )
 
 
@@ -169,7 +203,7 @@ def run_extraction(
         ext = ordered.withColumn("ext", extract_udf(F.col("text")))
         return ext.select(
             *[c for c in cols if c != "text"],
-            *[F.col(f"ext.{name}").alias(name) for name in _COLS],
+            *[_proj_ext(name) for name in _COLS],
         )
     if long_text_threshold is not None:
         is_long = F.length("text") > long_text_threshold
@@ -188,7 +222,7 @@ def run_extraction(
         )
         long_out = long_rows.select(
             *[c for c in cols if c != "text"],
-            *[F.col(f"ext.{name}").alias(name) for name in _COLS],
+            *[_proj_ext(name) for name in _COLS],
         )
         return short.unionByName(long_out)
     return _salted_udf_stage(
@@ -199,7 +233,7 @@ def run_extraction(
 DOM_EXTRACT_SCHEMA = StructType(
     [
         StructField("main_text", StringType()),
-        StructField("spans", ArrayType(SPAN)),
+        StructField("spans", SPAN_PACKED),
         StructField("err_count", IntegerType()),
         StructField("parse_status", StringType()),
         StructField("n_blocks", IntegerType()),
@@ -228,7 +262,7 @@ def dom_extract_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
             rows.append(
                 (
                     r["main_text"],
-                    [(s[0], s[1]) for s in r["spans"]],
+                    [(s[0] << 32) | s[1] for s in r["spans"]],
                     r["err_count"],
                     r["parse_status"],
                     r["n_blocks"],
@@ -366,7 +400,7 @@ def run_extraction_with_links(
             rows.append(
                 (
                     r["main_text"],
-                    [(s[0], s[1]) for s in r["spans"]],
+                    [(s[0] << 32) | s[1] for s in r["spans"]],
                     r["err_count"],
                     r["parse_status"],
                     r["n_tokens"],

@@ -24,7 +24,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators.pipeline import _COLS, extract_udf
+from ..operators.pipeline import _COLS, _proj_ext, extract_udf
 from ..sources.tables import TRANSCRIPT_SCHEMA
 
 
@@ -49,7 +49,7 @@ def extract_stream(stream: DataFrame) -> DataFrame:
         "conv_id",
         "turn_idx",
         "ts",
-        *[F.col(f"ext.{name}").alias(name) for name in _COLS],
+        *[_proj_ext(name) for name in _COLS],
     )
 
 
