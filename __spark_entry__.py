@@ -147,6 +147,25 @@ def _extract_links_oracle() -> str:
     """
 
 
+def _link_target_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target link-graph signals (inlink count, distinct source
+    conversations, anchor consensus) — round 4.  Spark derives the stats
+    from the live harvest; the DuckDB twin re-derives them entirely from
+    the committed engine-golden link rows, so both the harvest AND the
+    aggregation/tie-break logic sit under the hash."""
+    from html_parser_spark.operators.linkrank import link_target_stats
+
+    return link_target_stats(spark, sf_dir, top_k=100)
+
+
+def _link_target_stats_oracle() -> str:
+    from html_parser_spark.operators.linkrank import link_target_stats_sql
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR")
+    path = link_golden_parquet(_sf_of(sf_dir) if sf_dir else 0.01)
+    return link_target_stats_sql(path, top_k=100)
+
+
 def _extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extraction_metrics(_extracted(spark, _sf_of(sf_dir))).orderBy(
         "parse_status"
@@ -301,7 +320,9 @@ TOKEN_STATS_SQL = """
                 ELSE list_sum(list_transform(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'),
                                              w -> CAST(length(w) AS DOUBLE)))
                      / len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) END) * 10000)
-                AS BIGINT) AS avg_token_len_bp
+                AS BIGINT) AS avg_token_len_bp,
+           md5(trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS fingerprint,
+           length(trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS norm_len
     FROM documents
 """
 
@@ -414,8 +435,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - ``corpus_sample`` — its exact membership expression is now an
       oracled column of ``corpus_splits`` (``in_sample``).
 
-    One new row: ``stream_extract`` (Structured Streaming backfill vs the
-    reference-binary golden).
+    - ``text_fingerprints`` — its md5-normalized fingerprint + norm_len
+      are now oracled columns of ``text_token_stats`` (same scan, same
+      projection class; round 4).
+
+    New rows: ``stream_extract`` (Structured Streaming backfill vs the
+    reference-binary golden) and ``link_target_stats`` (link-graph
+    inlink/anchor-consensus signals vs the committed link goldens).
     """
     return {
         # flagship extraction (value-oracled vs reference-binary goldens)
@@ -423,6 +449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_dom_turns": _dom_extract_turns,
         "extract_metrics": _extract_metrics,
         "extract_links": _extract_links,
+        "link_target_stats": _link_target_stats,
         "tokens_kind_counts": _token_kind_counts,
         "display_roundtrip": _display_roundtrip,
         "stream_extract": _stream_extract,
@@ -446,7 +473,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": _token_stats,
         "text_quality_scores": textstats.quality_scores,
         "text_langid": textstats.langid,
-        "text_fingerprints": textstats.fingerprints,
         "text_length_quantiles": textstats.length_quantiles,
         "text_distinct_counts": textstats.distinct_counts,
         "text_ngram_topk": textstats.ngram_topk,
@@ -487,6 +513,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_dom_turns": _dom_turns_oracle(),
         "extract_metrics": _extract_metrics_oracle(),
         "extract_links": _extract_links_oracle(),
+        "link_target_stats": _link_target_stats_oracle(),
         "tokens_kind_counts": _token_kind_counts_oracle(),
         "display_roundtrip": _display_roundtrip_oracle(),
         "stream_extract": _extract_turns_oracle(),
@@ -507,7 +534,6 @@ def oracle_sql() -> dict[str, str]:
         "text_token_stats": TOKEN_STATS_SQL,
         "text_quality_scores": textstats.quality_scores_sql(),
         "text_langid": textstats.langid_sql(),
-        "text_fingerprints": textstats.fingerprints_sql(),
         "text_length_quantiles": textstats.length_quantiles_sql(),
         "text_distinct_counts": textstats.distinct_counts_sql(),
         "text_ngram_topk": textstats.ngram_topk_sql(),

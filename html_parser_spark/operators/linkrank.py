@@ -1,0 +1,212 @@
+"""Link-graph analytics over the harvested corpus link graph.
+
+Web-scale corpus curation uses link-graph signals two ways: exact
+per-target aggregates (inlink counts, anchor-text consensus — the
+signals C4/CC-style quality filters and search indexing consume) and
+iterative centrality (PageRank) for host/page-level quality priors.
+Both operate on `linkops.run_link_extraction`'s output — the link rows
+the reference-verified tokenizer harvested (functions/links.py), so the
+graph itself is oracle-pinned upstream.
+
+Scale shape:
+
+- ``link_target_stats``: two href-keyed hash aggregations (the second
+  over pre-shrunk (href, anchor) counts) + one href equi-join +
+  TakeOrderedAndProject.  Everything that shuffles is ids/counts; text
+  crosses the wire only as the anchor strings being aggregated.
+- ``pagerank``: the classic ids-only iteration — edges join ranks on
+  the source key, contributions aggregate on the destination key,
+  ``localCheckpoint`` per round truncates lineage (the
+  connected-components lesson, BENCH.md r3).  The only driver-side
+  values per round are two scalars (total/dangling mass), the same
+  class of post-agg metric scalar as resume.py's.
+
+PageRank is deliberately NOT a driver-gate row: it is float-valued and
+cross-engine float summation order differs, so a bit-exact md5 hash
+would be flaky by construction (CLAUDE.md: never ROUND on doubles).
+Its correctness is pytest-pinned instead against an independent dense
+NumPy power iteration on the same edge list (test_linkrank.py), plus
+invariants (mass conservation, teleport floor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .linkops import run_link_extraction
+
+
+def _links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+
+    from ..fixtures import ensure_transcripts
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else 0.01
+    return run_link_extraction(
+        spark.read.parquet(ensure_transcripts(sf))
+    )
+
+
+def link_target_stats(
+    spark: SparkSession, sf_dir: str, top_k: int = 100
+) -> DataFrame:
+    """Per-target link signals: inlink count, distinct source
+    conversations, distinct anchor texts, and the consensus anchor
+    (most frequent; ties broken to the lexicographically LARGEST anchor
+    so both engines agree deterministically).  Top ``top_k`` targets by
+    (n_inlinks DESC, href ASC) — TakeOrderedAndProject, never a global
+    sort."""
+    links = _links(spark, sf_dir)
+    base = links.groupBy("href").agg(
+        F.count(F.lit(1)).alias("n_inlinks"),
+        F.count_distinct("conv_id").alias("n_source_convs"),
+        F.count_distinct("anchor_text").alias("n_distinct_anchors"),
+    )
+    pair = links.groupBy("href", "anchor_text").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    top = pair.groupBy("href").agg(
+        F.expr("max_by(anchor_text, struct(n, anchor_text))").alias(
+            "top_anchor"
+        ),
+        F.max("n").alias("top_anchor_n"),
+    )
+    return (
+        base.join(top, "href")
+        .orderBy(F.desc("n_inlinks"), "href")
+        .limit(top_k)
+    )
+
+
+def link_target_stats_sql(golden_path: str, top_k: int = 100) -> str:
+    """DuckDB twin over the committed engine-golden link rows — the
+    stats are re-derived entirely inside DuckDB, so a Spark-side agg or
+    tie-break bug breaks the hash."""
+    return f"""
+    WITH links AS (SELECT * FROM read_parquet('{golden_path}')),
+    base AS (
+      SELECT href,
+             CAST(count(*) AS BIGINT) AS n_inlinks,
+             CAST(count(DISTINCT conv_id) AS BIGINT) AS n_source_convs,
+             CAST(count(DISTINCT anchor_text) AS BIGINT) AS n_distinct_anchors
+      FROM links GROUP BY href
+    ),
+    pair AS (
+      SELECT href, anchor_text, CAST(count(*) AS BIGINT) AS n
+      FROM links GROUP BY href, anchor_text
+    ),
+    ranked AS (
+      SELECT href, anchor_text, n,
+             row_number() OVER (
+               PARTITION BY href ORDER BY n DESC, anchor_text DESC
+             ) AS rn
+      FROM pair
+    )
+    SELECT b.href, b.n_inlinks, b.n_source_convs, b.n_distinct_anchors,
+           r.anchor_text AS top_anchor, r.n AS top_anchor_n
+    FROM base b JOIN ranked r ON b.href = r.href AND r.rn = 1
+    ORDER BY b.n_inlinks DESC, b.href
+    LIMIT {top_k}
+    """
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    iterations: int = 10,
+    damping: float = 0.85,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """PageRank over an edge list ``(src, dst)`` (any node id type).
+
+    Standard power iteration with uniform teleport and dangling-mass
+    redistribution:
+
+        r'(v) = (1-d)/N + d * (sum_{u->v} r(u)/deg(u) + dangling/N)
+
+    Physical shape per round: edges ⋈ ranks on src (both sides keyed by
+    node id), groupBy dst partial+final agg, one scalar agg for the
+    dangling mass.  ``localCheckpoint`` every ``checkpoint_every``
+    rounds — without it Catalyst re-analyzes a k-deep join tree every
+    round (measured on connected components: per-round wall GREW 18→104 s
+    under bare persist, BENCH.md r3).
+
+    Returns (node, rank) for every node that appears in the graph.
+    """
+    spark = edges.sparkSession
+    edges = edges.select(
+        F.col(edges.columns[0]).cast("string").alias("src"),
+        F.col(edges.columns[1]).cast("string").alias("dst"),
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return spark.createDataFrame([], "node string, rank double")
+    out_deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).alias("deg")
+    ).localCheckpoint()
+
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    teleport = (1.0 - damping) / n_nodes
+    for i in range(iterations):
+        with_deg = ranks.join(out_deg, ranks["node"] == out_deg["src"], "left")
+        # dangling mass: rank held by nodes with no out-edges (one
+        # scalar per round — a post-aggregation driver value, not a
+        # hot-path collect)
+        dangling = (
+            with_deg.filter(F.col("deg").isNull())
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+            or 0.0
+        )
+        shares = ranks.join(
+            out_deg, ranks["node"] == out_deg["src"]
+        ).select(
+            F.col("node").alias("u"),
+            (F.col("rank") / F.col("deg")).alias("share"),
+        )
+        contribs = edges.join(shares, edges["src"] == F.col("u")).select(
+            F.col("dst").alias("node"), F.col("share")
+        )
+        summed = contribs.groupBy("node").agg(F.sum("share").alias("s"))
+        ranks = (
+            nodes.join(summed, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("s"), F.lit(0.0))
+                        + F.lit(dangling / n_nodes)
+                    )
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
+            new_ranks = ranks.localCheckpoint()
+            ranks = new_ranks
+    return ranks
+
+
+def link_pagerank(
+    spark: SparkSession, sf_dir: str, iterations: int = 10
+) -> DataFrame:
+    """PageRank over the bipartite (turn-document → href) corpus link
+    graph: documents contribute their rank to the targets they cite;
+    targets are sinks whose mass recirculates via the dangling term.
+    Node ids: ``doc:<conv_id>#<turn_idx>`` and ``url:<href>``."""
+    links = _links(spark, sf_dir)
+    edges = links.select(
+        F.concat(F.lit("doc:"), "conv_id", F.lit("#"), "turn_idx").alias(
+            "src"
+        ),
+        F.concat(F.lit("url:"), "href").alias("dst"),
+    )
+    return pagerank(edges, iterations=iterations)

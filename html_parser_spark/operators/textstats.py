@@ -33,7 +33,11 @@ def _tokens_expr() -> str:
 
 
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace token counting + length features per document."""
+    """Whitespace token counting + length features per document, plus
+    the document fingerprint (round 4: :func:`fingerprints`' md5-over-
+    normalized-text columns folded in so both primitives share one gate
+    row — the 50-row snapshot cap, CLAUDE.md; both are single-projection
+    expressions over the same scan, so the fold costs nothing)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = F.when(F.trim("text") == "", F.array()).otherwise(
         F.split(F.trim("text"), r"\s+")
@@ -47,6 +51,7 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / F.size(toks),
     ).otherwise(F.lit(0.0))
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
     return docs.select(
         "doc_id",
         F.length("text").cast("long").alias("char_count"),
@@ -54,6 +59,8 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # basis points via floor: deterministic across engines (ROUND
         # tie-breaking differs between Spark HALF_UP and DuckDB)
         F.floor(avg_len * 10000).cast("long").alias("avg_token_len_bp"),
+        F.md5(norm).alias("fingerprint"),
+        F.length(norm).cast("long").alias("norm_len"),
     )
 
 
