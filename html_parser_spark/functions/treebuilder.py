@@ -88,6 +88,9 @@ _LIST_SCOPE_EXTRA = frozenset(["ol", "ul"])
 
 # current-node tags that trigger foster parenting for non-table content
 _FOSTER_CTX = frozenset(["table", "tbody", "thead", "tfoot", "tr"])
+_IMPLIED_END = frozenset(
+    ["dd", "dt", "li", "optgroup", "option", "p", "rb", "rp", "rt", "rtc"]
+)
 
 MARKER = object()  # active-formatting-elements marker sentinel
 
@@ -223,7 +226,12 @@ class TreeBuilder:
                 return
 
     def _in_scope(self, tag: str, extra_barriers=frozenset()) -> bool:
-        barriers = _SCOPE_BARRIER | extra_barriers
+        # avoid the per-call set union on the hot no-extra-barriers path
+        barriers = (
+            _SCOPE_BARRIER
+            if not extra_barriers
+            else _SCOPE_BARRIER | extra_barriers
+        )
         for el in reversed(self.open_elements):
             if el.tag == tag:
                 return True
@@ -243,13 +251,13 @@ class TreeBuilder:
         return False
 
     def _generate_implied_end_tags(self, exclude: str | None = None) -> None:
-        implied = {"dd", "dt", "li", "optgroup", "option", "p", "rb", "rp", "rt", "rtc"}
+        stack = self.open_elements
         while (
-            self.open_elements
-            and self.current().tag in implied
-            and self.current().tag != exclude
+            stack
+            and stack[-1].tag in _IMPLIED_END
+            and stack[-1].tag != exclude
         ):
-            self.open_elements.pop()
+            stack.pop()
 
     def _close_p(self) -> None:
         """§13.2.6.4 'close a p element'."""
