@@ -57,7 +57,13 @@ def link_target_stats(
     so both engines agree deterministically).  Top ``top_k`` targets by
     (n_inlinks DESC, href ASC) — TakeOrderedAndProject, never a global
     sort."""
-    links = _links(spark, sf_dir)
+    return target_stats_from_links(_links(spark, sf_dir), top_k=top_k)
+
+
+def target_stats_from_links(links: DataFrame, top_k: int = 100) -> DataFrame:
+    """Same stats over an already-materialized link table (the corpus
+    job aggregates the links parquet it just wrote instead of paying a
+    second harvest pass)."""
     base = links.groupBy("href").agg(
         F.count(F.lit(1)).alias("n_inlinks"),
         F.count_distinct("conv_id").alias("n_source_convs"),

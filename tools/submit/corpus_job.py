@@ -128,6 +128,19 @@ def main() -> None:
     n1 = spark.read.parquet(f"{d1}/documents.parquet").count()
     stage("extract", n_turns, n1, t0)
 
+    # 1b. LINKRANK — per-target link-graph signals over the links the
+    # fused pass just wrote (no second harvest): inlink counts, distinct
+    # source conversations, anchor consensus.  Ids/counts-only shuffles.
+    t0 = time.time()
+    from html_parser_spark.operators.linkrank import target_stats_from_links
+
+    link_rows = spark.read.parquet(f"{args.output}/links")
+    n_links = link_rows.count()
+    stats = target_stats_from_links(link_rows, top_k=10000)
+    stats.write.mode("overwrite").parquet(f"{args.output}/link_stats")
+    n_targets = spark.read.parquet(f"{args.output}/link_stats").count()
+    stage("linkrank", n_links, n_targets, t0)
+
     # 2. QUALITY — Gopher/C4 repetition gates
     t0 = time.time()
     keep = textstats.repetition_filters(spark, d1).filter(
