@@ -145,8 +145,9 @@ def main() -> None:
         "extract_wall_sec": round(extract_sec, 3),
         "extract_passes_sec": passes,
         "extract_passes_steal": steals,
-        # the ACTUAL master (the session default applies the measured
-        # ~12% slot reservation, e.g. local[28] on a 32-cpu budget)
+        # the ACTUAL master (round 4: full CPU budget — the tag memo
+        # shrank the wave tail the old local[28] reservation compensated
+        # for; clean-window ABAB now favors local[32], BENCH.md)
         "master": spark.sparkContext.master,
         "cpu_budget": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
         "parallelism": ncores,

@@ -31,16 +31,18 @@ DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
 def default_task_slots(cpus: int) -> int:
-    """Task slots for a ``cpus``-core budget: reserve ~12% of cores for
-    the JVM's shuffle/Arrow/GC threads instead of saturating every core
-    with a Python worker (VERDICT r02 item 7 — ABAB-measured local[28] >
-    local[32] on the 32-core box; on a cluster the same rule is
-    ``spark.executor.cores`` ≈ 0.85–0.9 × vcores).  Small budgets are
-    left alone: the reservation only pays once worker count is large
-    enough for JVM service threads to be the contended resource."""
-    if cpus < 8:
-        return cpus
-    return max(2, cpus - max(1, round(cpus * 0.125)))
+    """Task slots for a ``cpus``-core budget.
+
+    History: rounds 2-3 reserved ~12% of cores for the JVM's
+    shuffle/Arrow/GC threads (ABAB-measured local[28] > local[32] then).
+    Round 4's tag memo cut per-task Python time ~20%, which shrank the
+    wave tail that reservation was compensating for — re-measured ABAB
+    in clean windows (≤3% steal): local[32] 23.8k/24.7k turns/s vs
+    local[28] 19.8-21.5k, and local[32] ≥ local[28] in 3 of 4 valid
+    pairs (BENCH.md r4).  Default is now the FULL budget; on a real
+    cluster keep ``spark.executor.cores`` ≈ 0.9 × vcores only when
+    profiling shows JVM service threads contended."""
+    return cpus
 
 
 def get_spark(
