@@ -63,15 +63,24 @@ def link_target_stats(
 def target_stats_from_links(links: DataFrame, top_k: int = 100) -> DataFrame:
     """Same stats over an already-materialized link table (the corpus
     job aggregates the links parquet it just wrote instead of paying a
-    second harvest pass)."""
-    base = links.groupBy("href").agg(
-        F.count(F.lit(1)).alias("n_inlinks"),
+    second harvest pass).
+
+    Both downstream aggregates route through ONE shared
+    ``(href, anchor_text, conv_id)`` pre-aggregation: the two branches'
+    subplans are identical up to that exchange, so Spark executes the
+    upstream (including the harvest UDF when ``links`` is the live
+    harvest) once and reuses the exchange output (``ReusedExchange`` in
+    the physical plan, plan-asserted in test_linkrank.py) — without
+    this, each grouping keyed its own exchange and the UDF ran twice."""
+    t = links.groupBy("href", "anchor_text", "conv_id").agg(
+        F.count(F.lit(1)).alias("n3")
+    )
+    base = t.groupBy("href").agg(
+        F.sum("n3").alias("n_inlinks"),
         F.count_distinct("conv_id").alias("n_source_convs"),
         F.count_distinct("anchor_text").alias("n_distinct_anchors"),
     )
-    pair = links.groupBy("href", "anchor_text").agg(
-        F.count(F.lit(1)).alias("n")
-    )
+    pair = t.groupBy("href", "anchor_text").agg(F.sum("n3").alias("n"))
     top = pair.groupBy("href").agg(
         F.expr("max_by(anchor_text, struct(n, anchor_text))").alias(
             "top_anchor"

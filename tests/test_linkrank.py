@@ -111,6 +111,18 @@ def test_target_stats_match_duckdb_twin_on_goldens(spark):
     assert got_rows == [tuple(w) for w in want]
 
 
+def test_target_stats_reuses_the_harvest_exchange(spark):
+    """Both stat branches must route through ONE shared
+    (href, anchor_text, conv_id) pre-aggregation so the harvest UDF
+    executes once — the executed adaptive plan shows a ReusedExchange
+    (without the shared pre-agg, each grouping keyed its own exchange
+    and the UDF ran twice)."""
+    df = link_target_stats(spark, SF_DIR, top_k=10)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") >= 1, plan[:2000]
+
+
 def test_target_stats_tie_break_is_deterministic(spark):
     from pyspark.sql import functions as F
 
