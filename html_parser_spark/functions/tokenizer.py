@@ -240,6 +240,18 @@ _FAST_TAG = re.compile(
     r"(?:[\t\n\x0c ]*=[\t\n\x0c ]*" + _VAL + r")?)*)"
     r"[\t\n\x0c ]*(/?)>"
 )
+# fused data-run + tag scan: ONE regex call per (text run, tag) pair
+# instead of _DATA_BREAK.search + _FAST_TAG.match.  Group 1 is the DATA
+# run ([^&<]* — same break set as _DATA_BREAK; NUL passes through DATA
+# verbatim), groups 2-5 are _FAST_TAG's groups shifted by one.  Sound
+# because the run class excludes '<' while the tag alternative requires
+# it, so backtracking can neither shorten the run nor blow up; and a
+# fused failure implies _FAST_TAG cannot match at the first break either
+# (if the first break were '<' opening a subset tag, the fused pattern
+# would have matched), so the fallback no longer retries the tag regex.
+# Measured 9-17% single-thread tokenize gain on the fixture corpus
+# (in-process ABAB, BENCH.md round 4).
+_DATA_TAG = re.compile(r"([^&<]*)" + _FAST_TAG.pattern)
 # simple comments: no '-'/'<'/NUL in the body ⇒ the automaton appends the
 # body verbatim and the trailing --> closes it (abrupt ``<!-->`` forms
 # don't match and fall back)
@@ -814,6 +826,81 @@ def tokenize(text: str, initial_state: int = DATA):
             # (equivalent: every other char, incl. NUL, is emitted as-is —
             # mod.rs:179-206)
             if not recon and pos < n:
+                # fused run+tag fast path: the overwhelmingly common DATA
+                # shape is "text run then subset tag" — one C-level regex
+                # call parses both (see _DATA_TAG soundness note)
+                mdt = _DATA_TAG.match(text, pos)
+                if mdt is not None:
+                    j = mdt.end(1)
+                    if j > pos:
+                        if not run:
+                            run_first = pos
+                        run_push(text[pos:j])
+                        run_last_end = j
+                    src = text[j : mdt.end()]
+                    hit = _TAG_MEMO.get(src)
+                    if hit is not None:
+                        end_slash, name, pairs, sc_slash = hit
+                        attrs = [[a, b] for a, b in pairs]
+                    else:
+                        end_slash, name, g3, sc_slash = mdt.group(2, 3, 4, 5)
+                        name = name.lower()  # TAG_NAME A-Z fold (+0x20)
+                        end_slash = end_slash == "/"
+                        sc_slash = sc_slash == "/"
+                        attrs = []
+                        if g3:
+                            for am in _FAST_ATTR.finditer(g3):
+                                v = am.group(2)
+                                if v is None:
+                                    v = ""
+                                else:
+                                    if v[0] == '"' or v[0] == "'":
+                                        v = v[1:-1]
+                                    if "&" in v:
+                                        dv = _ATTRVAL_MEMO.get(v)
+                                        if dv is None:
+                                            if len(_ATTRVAL_MEMO) >= _TAG_MEMO_MAX:
+                                                _ATTRVAL_MEMO.clear()
+                                            dv = _decode_attr_value(v)
+                                            _ATTRVAL_MEMO[v] = dv
+                                        v = dv
+                                attrs.append([am.group(1), v])
+                        if len(_TAG_MEMO) >= _TAG_MEMO_MAX:
+                            _TAG_MEMO.clear()
+                        _TAG_MEMO[src] = (
+                            end_slash,
+                            name,
+                            tuple((a[0], a[1]) for a in attrs),
+                            sc_slash,
+                        )
+                    if sc_slash:
+                        # self-closing bypasses the open-tags stack
+                        if run:
+                            out(("chars", "".join(run), run_first, run_last_end))
+                            run.clear()
+                            run_first = -1
+                        out(("end" if end_slash else "start", name, attrs, True))
+                    elif end_slash:
+                        if open_tags and open_tags[-1] == name:
+                            open_tags.pop()
+                            if run:
+                                out(("chars", "".join(run), run_first, run_last_end))
+                                run.clear()
+                                run_first = -1
+                            out(("end", name, attrs, False))
+                        else:
+                            err_count += 1  # dropped by the stack filter
+                    else:
+                        open_tags.append(name)
+                        if run:
+                            out(("chars", "".join(run), run_first, run_last_end))
+                            run.clear()
+                            run_first = -1
+                        out(("start", name, attrs, False))
+                    pos = mdt.end()
+                    cur = ">"
+                    cur_idx = pos - 1
+                    continue
                 m = _DATA_BREAK.search(text, pos)
                 j = m.start() if m else n
                 if j > pos:
@@ -823,84 +910,15 @@ def tokenize(text: str, initial_state: int = DATA):
                     run_last_end = j
                     pos = j
                 # whole-construct fast paths, attempted straight at the
-                # break char, dispatched on the char after '<' (everything
-                # below is the inlined equivalent of consume → TAG_OPEN →
-                # ... for each regex's subset; inlined because per-call
-                # overhead dominates tag-dense inputs)
+                # break char, dispatched on the char after '<' (subset
+                # tags were already ruled out by the fused attempt above;
+                # everything below is the inlined equivalent of consume →
+                # TAG_OPEN → ... for each regex's subset)
                 if j < n and text[j] == "<" and j + 1 < n:
                     c2 = text[j + 1]
-                    mt = mc = None
-                    if (
-                        "a" <= c2 <= "z" or "A" <= c2 <= "Z" or c2 == "/"
-                    ):
-                        mt = _FAST_TAG.match(text, j)
-                    elif c2 == "!":
+                    mc = None
+                    if c2 == "!":
                         mc = _FAST_COMMENT.match(text, j)
-                    if mt is not None:
-                        src = mt.group(0)
-                        hit = _TAG_MEMO.get(src)
-                        if hit is not None:
-                            end_slash, name, pairs, sc_slash = hit
-                            attrs = [[a, b] for a, b in pairs]
-                        else:
-                            end_slash, name, g3, sc_slash = mt.group(1, 2, 3, 4)
-                            name = name.lower()  # TAG_NAME A-Z fold (+0x20)
-                            end_slash = end_slash == "/"
-                            sc_slash = sc_slash == "/"
-                            attrs = []
-                            if g3:
-                                for am in _FAST_ATTR.finditer(g3):
-                                    v = am.group(2)
-                                    if v is None:
-                                        v = ""
-                                    else:
-                                        if v[0] == '"' or v[0] == "'":
-                                            v = v[1:-1]
-                                        if "&" in v:
-                                            dv = _ATTRVAL_MEMO.get(v)
-                                            if dv is None:
-                                                if len(_ATTRVAL_MEMO) >= _TAG_MEMO_MAX:
-                                                    _ATTRVAL_MEMO.clear()
-                                                dv = _decode_attr_value(v)
-                                                _ATTRVAL_MEMO[v] = dv
-                                            v = dv
-                                    attrs.append([am.group(1), v])
-                            if len(_TAG_MEMO) >= _TAG_MEMO_MAX:
-                                _TAG_MEMO.clear()
-                            _TAG_MEMO[src] = (
-                                end_slash,
-                                name,
-                                tuple((a[0], a[1]) for a in attrs),
-                                sc_slash,
-                            )
-                        if sc_slash:
-                            # self-closing bypasses the open-tags stack
-                            if run:
-                                out(("chars", "".join(run), run_first, run_last_end))
-                                run.clear()
-                                run_first = -1
-                            out(("end" if end_slash else "start", name, attrs, True))
-                        elif end_slash:
-                            if open_tags and open_tags[-1] == name:
-                                open_tags.pop()
-                                if run:
-                                    out(("chars", "".join(run), run_first, run_last_end))
-                                    run.clear()
-                                    run_first = -1
-                                out(("end", name, attrs, False))
-                            else:
-                                err_count += 1  # dropped by the stack filter
-                        else:
-                            open_tags.append(name)
-                            if run:
-                                out(("chars", "".join(run), run_first, run_last_end))
-                                run.clear()
-                                run_first = -1
-                            out(("start", name, attrs, False))
-                        pos = mt.end()
-                        cur = ">"
-                        cur_idx = pos - 1
-                        continue
                     if mc is not None:
                         if run:
                             out(("chars", "".join(run), run_first, run_last_end))
