@@ -304,6 +304,14 @@ _TAG_MEMO_MAX = 1 << 16
 # same idea for quoted/unquoted attr values containing '&' reached on a
 # memo MISS (distinct tags sharing one hot value, e.g. a repeated URL)
 _ATTRVAL_MEMO: dict = {}
+# named-char-ref outcome memo: the resolution of a scanned "&name[;]"
+# string (direct entity hit, byte-domain prefix fallback + raw tail, or
+# the all-raw AMBIGUOUS_AMPERSAND case) depends only on the name string,
+# so the emitted text, the PANIC flag from the fallback's utf-8 prefix
+# probes, and the ambiguous flag are computed once per distinct name.
+# Corpora reuse a handful of entities massively (fixture corpus: ~236k
+# named refs, 22 distinct).  Values: (emit_str, panic, ambiguous).
+_ENT_OUTCOME_MEMO: dict = {}
 
 _ASCII_ALPHA = frozenset(
     "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
@@ -783,31 +791,62 @@ def tokenize(text: str, initial_state: int = DATA):
             end = i if cur_c is not None else n
             # resume: ';' consumed; a breaking char is reprocessed
             resume = i if (cur_c == ";" or cur_c is None) else i - 1
-            entity = ENTITIES.get(name)
-            if entity is not None:
-                emit_chars(entity, j, end)
-                return resume
-            # byte-domain prefix fallback (mod.rs:839-877)
-            bbuf = name.encode("utf-8")
-            mx = MAX_WITHOUT_SEMICOLON + 1
-            if mx > len(bbuf):
-                mx = len(bbuf)
-            while mx > MIN_POSSIBLE:
-                try:
-                    prefix = bbuf[:mx].decode("utf-8")
-                except UnicodeDecodeError:
-                    status = PANIC
-                    prefix = None
-                if prefix is not None:
-                    matched = ENTITIES.get(prefix)
-                    if matched is not None:
-                        emit_chars(matched, j, end)
-                        break
-                mx -= 1
-            for index, ch in enumerate(name):
-                if index >= mx or mx == MIN_POSSIBLE:
-                    emit_chars(ch, j, end)
-            if mx != MIN_POSSIBLE:
+            outcome = _ENT_OUTCOME_MEMO.get(name)
+            if outcome is None:
+                entity = ENTITIES.get(name)
+                if entity is not None:
+                    outcome = (entity, False, False)
+                else:
+                    # byte-domain prefix fallback (mod.rs:839-877).  The
+                    # slow path emitted [matched?] + the raw tail chars
+                    # one emit_chars call each, all with span (j, end) —
+                    # they land in the same pending run, so one
+                    # concatenated emission is output-identical.  The raw
+                    # tail is name[mx:] with mx in the BYTE domain
+                    # compared against CHAR indices — the reference's
+                    # quirk, preserved verbatim.
+                    panic = False
+                    bbuf = name.encode("utf-8")
+                    mx = MAX_WITHOUT_SEMICOLON + 1
+                    if mx > len(bbuf):
+                        mx = len(bbuf)
+                    matched = None
+                    while mx > MIN_POSSIBLE:
+                        try:
+                            prefix = bbuf[:mx].decode("utf-8")
+                        except UnicodeDecodeError:
+                            panic = True
+                            prefix = None
+                        if prefix is not None:
+                            matched = ENTITIES.get(prefix)
+                            if matched is not None:
+                                break
+                        mx -= 1
+                    if mx != MIN_POSSIBLE:
+                        # matched can be None here when the initial mx is
+                        # already below MIN_POSSIBLE (very short names,
+                        # e.g. "&a"): the slow path emitted nothing at all
+                        # — an empty emit_str reproduces that via the
+                        # emission guard below
+                        outcome = (
+                            (matched or "") + name[mx:],
+                            panic,
+                            False,
+                        )
+                    else:
+                        outcome = (name, panic, True)
+                if len(_ENT_OUTCOME_MEMO) >= _TAG_MEMO_MAX:
+                    _ENT_OUTCOME_MEMO.clear()
+                _ENT_OUTCOME_MEMO[name] = outcome
+            emit_str, panic, ambiguous = outcome
+            if panic:
+                status = PANIC
+            if emit_str:
+                # guard: an empty outcome means the slow path emitted no
+                # chars, so the pending run (incl. run_first) must stay
+                # untouched
+                emit_chars(emit_str, j, end)
+            if not ambiguous:
                 return resume
             # AMBIGUOUS_AMPERSAND: ASCII alpha only, each char its own span
             p = resume
@@ -831,13 +870,14 @@ def tokenize(text: str, initial_state: int = DATA):
                 # call parses both (see _DATA_TAG soundness note)
                 mdt = _DATA_TAG.match(text, pos)
                 if mdt is not None:
+                    tag_end = mdt.end()
                     j = mdt.end(1)
                     if j > pos:
                         if not run:
                             run_first = pos
                         run_push(text[pos:j])
                         run_last_end = j
-                    src = text[j : mdt.end()]
+                    src = text[j:tag_end]
                     hit = _TAG_MEMO.get(src)
                     if hit is not None:
                         end_slash, name, pairs, sc_slash = hit
@@ -897,7 +937,7 @@ def tokenize(text: str, initial_state: int = DATA):
                             run.clear()
                             run_first = -1
                         out(("start", name, attrs, False))
-                    pos = mdt.end()
+                    pos = tag_end
                     cur = ">"
                     cur_idx = pos - 1
                     continue
