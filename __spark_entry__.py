@@ -484,9 +484,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack": _pack_sequences,
         "corpus_mix": sampling.mix_documents,
         "text_pii_scrub": scrub.pii_scrub,
-        # multimodal plumbing (binary payload → mapInPandas metadata +
-        # real stdlib PNG decode, value-oracled)
-        "multimodal_metadata": multimodal.payload_metadata,
+        # multimodal plumbing (binary payload → mapInPandas sniff +
+        # decode; real stdlib PNG/GIF/BMP/WAV codecs, JPEG header walk
+        # with honestly-stubbed pixels — all value-oracled)
+        "multimodal_metadata": multimodal.media_metadata,
         # PDF/layout parse (writer→parser→layout round trip, oracled)
         "pdf_page_text": pdfops.pdf_page_text,
         # relational coverage (SURVEY.md §2.6)
@@ -544,7 +545,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_pack": chunking.pack_sequences_sql(seq_len=512, n_groups=4),
         "corpus_mix": sampling.mix_documents_sql(),
         "text_pii_scrub": scrub.pii_scrub_sql(),
-        "multimodal_metadata": multimodal.payload_metadata_sql(),
+        "multimodal_metadata": multimodal.media_metadata_sql(),
         "pdf_page_text": pdfops.pdf_page_text_sql(),
         "rel_pricing_summary": relational.pricing_summary_sql(),
         "rel_top_revenue_nations": relational.top_revenue_nations_sql(),

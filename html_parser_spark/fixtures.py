@@ -430,3 +430,116 @@ def ensure_png_blobs(sf: float, cache_root: str | None = None) -> str:
     if not os.path.exists(path):
         write_png_parquet(sf, out_dir)
     return path
+
+
+def write_media_parquet(sf: float, out_dir: str) -> str:
+    """Materialize the mixed-format media blob table at ``sf``:
+    (doc_id, payload, exp_format, exp_width, exp_height, exp_channels,
+    exp_sample_rate, exp_n_frames, exp_pixel_md5).
+
+    Formats: PNG (filter-cycling encoder above), GIF87a-profile frames
+    via a real LZW coder, 24-bit BMP, 16-bit PCM WAV, and a
+    syntactically valid JFIF whose pixels are intentionally NOT
+    decodable (the honest-stub modality — exp pixel hash is NULL).
+    Ground truth is stored next to each blob so the Spark decode can be
+    value-oracled from the bytes alone (operators/multimodal.py).
+    """
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .functions.mediacodecs import (
+        encode_bmp,
+        encode_gif,
+        encode_jpeg_fixture,
+        encode_wav,
+    )
+
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "media_blobs.parquet")
+    rng = random.Random(SEED + 11)
+    n = max(80, int(sf * 20_000))
+    cols: dict = {
+        "doc_id": [], "payload": [], "exp_format": [], "exp_width": [],
+        "exp_height": [], "exp_channels": [], "exp_sample_rate": [],
+        "exp_n_frames": [], "exp_pixel_md5": [],
+    }
+
+    def add(i, fmt, payload, w, h, ch, sr, nf, pmd5):
+        cols["doc_id"].append(i)
+        cols["payload"].append(payload)
+        cols["exp_format"].append(fmt)
+        cols["exp_width"].append(w)
+        cols["exp_height"].append(h)
+        cols["exp_channels"].append(ch)
+        cols["exp_sample_rate"].append(sr)
+        cols["exp_n_frames"].append(nf)
+        cols["exp_pixel_md5"].append(pmd5)
+
+    md5 = lambda b: hashlib.md5(b).hexdigest()  # noqa: E731
+    for i in range(n):
+        fmt = ("png", "gif", "bmp", "wav", "jpeg")[i % 5]
+        if fmt == "png":
+            w, h = rng.randint(4, 48), rng.randint(4, 48)
+            ch = 1 if rng.random() < 0.25 else 3
+            raw = bytes(rng.randrange(256) for _ in range(w * h * ch))
+            add(i, fmt, encode_png(raw, w, h, ch), w, h, ch, None, 1, md5(raw))
+        elif fmt == "gif":
+            w, h = rng.randint(4, 40), rng.randint(4, 40)
+            nf = rng.randint(1, 3)
+            # mix of noisy and run-heavy frames so both LZW regimes
+            # (fresh-chain and deep-chain) appear in the corpus
+            frames = [
+                bytes(rng.randrange(256) for _ in range(w * h))
+                if f % 2 == 0
+                else bytes((x // 7) % 16 for x in range(w * h))
+                for f in range(nf)
+            ]
+            add(i, fmt, encode_gif(frames, w, h), w, h, 1, None, nf,
+                md5(b"".join(frames)))
+        elif fmt == "bmp":
+            w, h = rng.randint(4, 48), rng.randint(4, 48)
+            raw = bytes(rng.randrange(256) for _ in range(w * h * 3))
+            add(i, fmt, encode_bmp(raw, w, h), w, h, 3, None, 1, md5(raw))
+        elif fmt == "wav":
+            ch = rng.randint(1, 2)
+            sr = rng.choice((8000, 16000, 22050, 44100))
+            nf = rng.randint(50, 400)
+            pcm = bytes(rng.randrange(256) for _ in range(nf * ch * 2))
+            add(i, fmt, encode_wav(pcm, ch, sr), None, None, ch, sr, nf,
+                md5(pcm))
+        else:  # jpeg: header-parsable, pixels honestly undecodable
+            w, h = rng.randint(4, 500), rng.randint(4, 500)
+            entropy = bytes(rng.randrange(256) for _ in range(rng.randint(40, 300)))
+            add(i, fmt, encode_jpeg_fixture(w, h, entropy), w, h, 3, None,
+                None, None)
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("payload", pa.binary()),
+            ("exp_format", pa.string()),
+            ("exp_width", pa.int32()),
+            ("exp_height", pa.int32()),
+            ("exp_channels", pa.int32()),
+            ("exp_sample_rate", pa.int32()),
+            ("exp_n_frames", pa.int32()),
+            ("exp_pixel_md5", pa.string()),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pydict(cols, schema=schema), path, row_group_size=4096
+    )
+    return path
+
+
+def ensure_media_blobs(sf: float, cache_root: str | None = None) -> str:
+    """Generate-once cache; returns the parquet path."""
+    cache_root = cache_root or os.environ.get(
+        "SPARK_GRAFT_DATA_DIR", "/root/repo/data"
+    )
+    out_dir = os.path.join(cache_root, f"media_blobs_sf{sf}")
+    path = os.path.join(out_dir, "media_blobs.parquet")
+    if not os.path.exists(path):
+        write_media_parquet(sf, out_dir)
+    return path

@@ -199,3 +199,136 @@ def sample_frames(payload: bytes, every_n: int = 30):  # pragma: no cover
     raise NotImplementedError(
         "frame sampling needs ffmpeg; wire into _meta_batches when available"
     )
+
+
+# ----------------------------------------------------- mixed-format media
+
+MEDIA_SCHEMA = (
+    "doc_id bigint, format string, byte_len int, payload_md5 string, "
+    "width int, height int, channels int, sample_rate int, n_frames int, "
+    "pixel_md5 string"
+)
+
+
+def media_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic mixed-format blob table (PNG/GIF/BMP/WAV/JPEG)
+    for the gate's scale factor."""
+    from ..fixtures import ensure_media_blobs
+
+    return spark.read.parquet(ensure_media_blobs(_sf_of(sf_dir)))
+
+
+def _media_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Sniff-and-dispatch decode.  The format is detected from the magic
+    bytes (metadata lies at corpus scale; bytes don't) and each decoder
+    re-derives dimensions/audio shape/pixel fingerprint from the payload
+    alone.  JPEG is the honest-stub modality: its marker walk yields real
+    dimensions but pixel decode needs libjpeg (absent here), so
+    n_frames/pixel_md5 stay NULL — exactly what the oracle's ground
+    truth stores for it."""
+    from ..functions.mediacodecs import (
+        decode_bmp,
+        decode_gif,
+        decode_wav,
+        jpeg_dimensions,
+        sniff_format,
+    )
+
+    cols = (
+        "doc_id", "format", "byte_len", "payload_md5", "width", "height",
+        "channels", "sample_rate", "n_frames", "pixel_md5",
+    )
+    for pdf in batches:
+        rows: dict[str, list] = {k: [] for k in cols}
+        for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(b)
+            fmt = sniff_format(b)
+            width = height = channels = sample_rate = n_frames = None
+            pixel_md5 = None
+            if fmt == "png":
+                width, height, channels, raw = decode_png(b)
+                n_frames, pixel_md5 = 1, hashlib.md5(raw).hexdigest()
+            elif fmt == "gif":
+                width, height, n_frames, idx = decode_gif(b)
+                channels, pixel_md5 = 1, hashlib.md5(idx).hexdigest()
+            elif fmt == "bmp":
+                width, height, channels, raw = decode_bmp(b)
+                n_frames, pixel_md5 = 1, hashlib.md5(raw).hexdigest()
+            elif fmt == "wav":
+                channels, sample_rate, n_frames, pcm = decode_wav(b)
+                pixel_md5 = hashlib.md5(pcm).hexdigest()
+            elif fmt == "jpeg":
+                width, height, channels = jpeg_dimensions(b)
+            rows["doc_id"].append(doc_id)
+            rows["format"].append(fmt)
+            rows["byte_len"].append(len(b))
+            rows["payload_md5"].append(hashlib.md5(b.hex().encode()).hexdigest())
+            rows["width"].append(width)
+            rows["height"].append(height)
+            rows["channels"].append(channels)
+            rows["sample_rate"].append(sample_rate)
+            rows["n_frames"].append(n_frames)
+            rows["pixel_md5"].append(pixel_md5)
+        yield pd.DataFrame(rows)
+
+
+def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas over the mixed-format binary column → typed metadata
+    with REAL decoded shape + content fingerprints per modality (image
+    pixels, GIF frame indices, WAV PCM).  Value-oracled: the DuckDB twin
+    reads the generator's stored ground truth AND independently detects
+    the container from the hex-encoded magic bytes."""
+    return (
+        media_blobs(spark, sf_dir)
+        .select("doc_id", "payload")
+        .mapInPandas(_media_batches, schema=MEDIA_SCHEMA)
+    )
+
+
+def media_metadata_sql(sf_dir: str | None = None) -> str:
+    import os
+
+    from ..fixtures import ensure_media_blobs
+
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01"
+    )
+    path = ensure_media_blobs(_sf_of(sf_dir))
+    return f"""
+    SELECT doc_id,
+           CASE
+             WHEN substr(lower(hex(payload)), 1, 16) = '89504e470d0a1a0a'
+               THEN 'png'
+             WHEN substr(lower(hex(payload)), 1, 12) IN
+                  ('474946383761', '474946383961') THEN 'gif'
+             WHEN substr(lower(hex(payload)), 1, 4) = '424d' THEN 'bmp'
+             WHEN substr(lower(hex(payload)), 1, 8) = '52494646'
+              AND substr(lower(hex(payload)), 17, 8) = '57415645'
+               THEN 'wav'
+             WHEN substr(lower(hex(payload)), 1, 6) = 'ffd8ff' THEN 'jpeg'
+             ELSE 'unknown'
+           END AS format,
+           CAST(octet_length(payload) AS INT) AS byte_len,
+           md5(lower(hex(payload))) AS payload_md5,
+           exp_width AS width,
+           exp_height AS height,
+           exp_channels AS channels,
+           exp_sample_rate AS sample_rate,
+           exp_n_frames AS n_frames,
+           exp_pixel_md5 AS pixel_md5
+    FROM read_parquet('{path}')
+    """
+
+
+def gif_frame_samples(payload: bytes, every_n: int = 1) -> list:
+    """Real frame sampling for the one animated container the sandbox
+    can decode: every ``every_n``-th GIF frame → (frame_idx, frame_md5).
+    Video containers still require ffmpeg (see sample_frames)."""
+    from ..functions.mediacodecs import decode_gif
+
+    w, h, n_frames, idx = decode_gif(payload)
+    size = w * h
+    return [
+        (i, hashlib.md5(idx[i * size : (i + 1) * size]).hexdigest())
+        for i in range(0, n_frames, every_n)
+    ]

@@ -64,3 +64,151 @@ def test_fixture_ground_truth_matches_decoder():
         w, h, ch, raw = decode_png(r["payload"])
         assert (w, h, ch) == (r["exp_width"], r["exp_height"], r["exp_channels"])
         assert hashlib.md5(raw).hexdigest() == r["exp_pixel_md5"]
+
+
+# ------------------------------------------------- mixed-format codecs
+
+
+def test_gif_round_trip_including_lzw_reset():
+    from html_parser_spark.functions.mediacodecs import decode_gif, encode_gif
+
+    rng = random.Random(3)
+    for w, h, nf in [(1, 1, 1), (5, 4, 1), (48, 48, 3), (80, 80, 2)]:
+        frames = [
+            bytes(rng.randrange(256) for _ in range(w * h)) for _ in range(nf)
+        ]
+        # 80x80 random frames push the LZW table past 4096 → exercises
+        # the CLEAR-and-reset path on both coder sides
+        assert decode_gif(encode_gif(frames, w, h)) == (
+            w, h, nf, b"".join(frames),
+        )
+
+
+def test_gif_low_entropy_deep_chains():
+    from html_parser_spark.functions.mediacodecs import decode_gif, encode_gif
+
+    low = bytes((i // 97) % 4 for i in range(64 * 64))
+    assert decode_gif(encode_gif([low], 64, 64)) == (64, 64, 1, low)
+
+
+def test_gif_skips_extension_blocks():
+    from html_parser_spark.functions.mediacodecs import decode_gif, encode_gif
+
+    frame = bytes(range(16)) * 4
+    g = bytearray(encode_gif([frame], 8, 8))
+    # splice a Graphic Control Extension before the image descriptor
+    # (0x2C); a spec decoder must skip it by sub-block structure
+    idx = g.index(0x2C, 13 + 768)
+    gce = bytes((0x21, 0xF9, 0x04, 0x00, 0x0A, 0x00, 0x00, 0x00))
+    g[idx:idx] = gce
+    assert decode_gif(bytes(g)) == (8, 8, 1, frame)
+
+
+def test_bmp_round_trip_with_row_padding():
+    from html_parser_spark.functions.mediacodecs import decode_bmp, encode_bmp
+
+    rng = random.Random(4)
+    for w, h in [(1, 1), (3, 2), (5, 4), (48, 47)]:  # w=3,5 → padded rows
+        raw = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        assert decode_bmp(encode_bmp(raw, w, h)) == (w, h, 3, raw)
+
+
+def test_wav_round_trip_manual_riff_walk():
+    from html_parser_spark.functions.mediacodecs import decode_wav, encode_wav
+
+    rng = random.Random(5)
+    for ch, rate, nfr in [(1, 8000, 100), (2, 44100, 333)]:
+        pcm = bytes(rng.randrange(256) for _ in range(nfr * ch * 2))
+        assert decode_wav(encode_wav(pcm, ch, rate)) == (ch, rate, nfr, pcm)
+
+
+def test_wav_skips_unknown_chunks():
+    from html_parser_spark.functions.mediacodecs import decode_wav, encode_wav
+
+    pcm = bytes(range(200))
+    w = bytearray(encode_wav(pcm, 1, 8000))
+    # splice an odd-sized LIST chunk after the WAVE tag: the walker must
+    # skip it (word-aligned) and still find fmt/data
+    extra = b"LIST" + (7).to_bytes(4, "little") + b"1234567" + b"\x00"
+    w[12:12] = extra
+    import struct
+
+    w[4:8] = struct.pack("<I", len(w) - 8)
+    assert decode_wav(bytes(w)) == (1, 8000, 100, pcm)
+
+
+def test_jpeg_header_parse_and_honest_pixel_stub():
+    from html_parser_spark.functions.mediacodecs import (
+        encode_jpeg_fixture,
+        jpeg_dimensions,
+    )
+
+    rng = random.Random(6)
+    entropy = bytes(rng.randrange(256) for _ in range(120))
+    j = encode_jpeg_fixture(321, 77, entropy)
+    assert jpeg_dimensions(j) == (321, 77, 3)
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg_dimensions(b"GIF89a")
+
+
+def test_sniff_dispatch_matches_ground_truth_fixture():
+    """Every blob in the media fixture is sniffed to its generator
+    format and decodes to the stored expectations — the single-process
+    twin of the multimodal_metadata gate row."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from html_parser_spark.fixtures import ensure_media_blobs
+    from html_parser_spark.functions.mediacodecs import (
+        decode_bmp,
+        decode_gif,
+        decode_wav,
+        jpeg_dimensions,
+        sniff_format,
+    )
+
+    t = pq.read_table(ensure_media_blobs(0.001)).to_pylist()
+    assert len(t) >= 80
+    seen = set()
+    for row in t:
+        b = bytes(row["payload"])
+        fmt = sniff_format(b)
+        assert fmt == row["exp_format"]
+        seen.add(fmt)
+        if fmt == "png":
+            w, h, ch, raw = decode_png(b)
+            assert (w, h, ch) == (row["exp_width"], row["exp_height"], row["exp_channels"])
+            assert hashlib.md5(raw).hexdigest() == row["exp_pixel_md5"]
+        elif fmt == "gif":
+            w, h, nf, idx = decode_gif(b)
+            assert (w, h, nf) == (row["exp_width"], row["exp_height"], row["exp_n_frames"])
+            assert hashlib.md5(idx).hexdigest() == row["exp_pixel_md5"]
+        elif fmt == "bmp":
+            w, h, ch, raw = decode_bmp(b)
+            assert (w, h) == (row["exp_width"], row["exp_height"])
+            assert hashlib.md5(raw).hexdigest() == row["exp_pixel_md5"]
+        elif fmt == "wav":
+            ch, sr, nf, pcm = decode_wav(b)
+            assert (ch, sr, nf) == (row["exp_channels"], row["exp_sample_rate"], row["exp_n_frames"])
+            assert hashlib.md5(pcm).hexdigest() == row["exp_pixel_md5"]
+        else:
+            assert fmt == "jpeg"
+            assert jpeg_dimensions(b) == (row["exp_width"], row["exp_height"], 3)
+            assert row["exp_pixel_md5"] is None
+    assert seen == {"png", "gif", "bmp", "wav", "jpeg"}
+
+
+def test_gif_frame_sampling_every_n():
+    from html_parser_spark.functions.mediacodecs import encode_gif
+    from html_parser_spark.operators.multimodal import gif_frame_samples
+
+    rng = random.Random(8)
+    frames = [bytes(rng.randrange(256) for _ in range(6 * 6)) for _ in range(5)]
+    g = encode_gif(frames, 6, 6)
+    import hashlib
+
+    got = gif_frame_samples(g, every_n=2)
+    assert [i for i, _ in got] == [0, 2, 4]
+    for i, digest in got:
+        assert digest == hashlib.md5(frames[i]).hexdigest()
