@@ -202,15 +202,23 @@ class TreeBuilder:
 
     def _insert_text(self, data: str, span=None) -> None:
         spans = [span] if span is not None else []
-        if data.strip() == "" and self.current().tag in _FOSTER_CTX:
+        cur = self.open_elements[-1]
+        if cur.tag not in _FOSTER_CTX:
+            # hot path: no table context in scope → plain append to the
+            # current node (what _insert_location would return), without
+            # the per-token strip() allocation the foster check needs
+            siblings = cur.children
+            pos = len(siblings)
+        elif data.strip() == "":
             # spec: a whitespace-only run between table elements stays
             # inside the table (pending-table-character-tokens rule);
             # only runs with non-ws content are foster-parented
-            parent, pos = self.current(), len(self.current().children)
+            parent, pos = cur, len(cur.children)
+            siblings = parent.children
         else:
             parent, idx = self._insert_location()
             pos = len(parent.children) if idx is None else idx
-        siblings = parent.children
+            siblings = parent.children
         if pos > 0 and isinstance(siblings[pos - 1], str):
             prev = siblings[pos - 1]
             siblings[pos - 1] = Text(
