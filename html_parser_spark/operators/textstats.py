@@ -675,7 +675,13 @@ def vocab_coverage(
     stand-in with the same plan shape.  Log-probability scoring is
     deliberately NOT offered cross-engine: JVM and libm ``log`` may
     disagree in the last ulp, and a hash gate cannot tolerate
-    floor-boundary flips.
+    floor-boundary flips.  Instead ``freq_sum`` carries the integer
+    unigram-LM stand-in (round 4): the summed corpus occurrence count
+    of each in-vocab token — the monotone integer transform of
+    unigram probability mass (freq_sum/n_words ∝ mean unigram
+    probability over the LM vocabulary), so a CCNet-style
+    "perplexity bucket" split downstream is an exact integer sort,
+    never a transcendental.
 
     Plan at 100 TB: vocabulary = explode → map-side-combined count →
     TakeOrderedAndProject (the vocabulary is LM-sized, 10^5-10^6 rows)
@@ -694,7 +700,7 @@ def vocab_coverage(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("w"))
         .limit(vocab_k)
-        .select("w", F.lit(1).alias("in_vocab"))
+        .select("w", "cnt")
     )
     return (
         words.join(F.broadcast(vocab), "w", "left")
@@ -702,8 +708,9 @@ def vocab_coverage(
         .agg(
             F.count(F.lit(1)).alias("n_words"),
             F.sum(
-                F.when(F.col("in_vocab").isNull(), F.lit(1)).otherwise(F.lit(0))
+                F.when(F.col("cnt").isNull(), F.lit(1)).otherwise(F.lit(0))
             ).alias("n_oov"),
+            F.sum(F.coalesce(F.col("cnt"), F.lit(0))).alias("freq_sum"),
         )
         .select(
             "doc_id",
@@ -712,6 +719,7 @@ def vocab_coverage(
             F.floor(
                 F.col("n_oov").cast("double") / F.col("n_words") * 10000
             ).cast("long").alias("oov_bp"),
+            F.col("freq_sum").cast("long").alias("freq_sum"),
         )
         .orderBy("doc_id")
     )
@@ -726,14 +734,16 @@ def vocab_coverage_sql(table: str = "documents", vocab_k: int = 1000) -> str:
       FROM {table}),
     ww AS (SELECT doc_id, w FROM w WHERE w <> ''),
     v AS (
-      SELECT w FROM ww GROUP BY w
-      ORDER BY count(*) DESC, w ASC LIMIT {vocab_k})
+      SELECT w, count(*) AS cnt FROM ww GROUP BY w
+      ORDER BY cnt DESC, w ASC LIMIT {vocab_k})
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_words,
-           CAST(sum(CASE WHEN ww.w IN (SELECT w FROM v) THEN 0 ELSE 1 END)
+           CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_oov,
-           CAST(floor(CAST(sum(CASE WHEN ww.w IN (SELECT w FROM v)
-                                    THEN 0 ELSE 1 END) AS DOUBLE)
-                      / count(*) * 10000) AS BIGINT) AS oov_bp
-    FROM ww GROUP BY doc_id ORDER BY doc_id
+           CAST(floor(CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)
+                           AS DOUBLE)
+                      / count(*) * 10000) AS BIGINT) AS oov_bp,
+           CAST(sum(coalesce(v.cnt, 0)) AS BIGINT) AS freq_sum
+    FROM ww LEFT JOIN v ON ww.w = v.w
+    GROUP BY doc_id ORDER BY doc_id
     """

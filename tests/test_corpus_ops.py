@@ -220,6 +220,11 @@ def test_vocab_coverage_semantics(spark, tmp_path):
     assert (rows[1].n_words, rows[1].n_oov, rows[1].oov_bp) == (5, 0, 0)
     assert (rows[2].n_words, rows[2].n_oov, rows[2].oov_bp) == (4, 1, 2500)
     assert (rows[3].n_words, rows[3].n_oov, rows[3].oov_bp) == (6, 2, 3333)
+    # corpus counts: the=5 cat=4 sat=3; freq_sum = Σ count(token) over
+    # in-vocab tokens — the integer unigram-probability-mass stand-in
+    assert rows[1].freq_sum == 5 + 4 + 3 + 5 + 4
+    assert rows[2].freq_sum == 5 + 4 + 3
+    assert rows[3].freq_sum == 5 + 4 + 3 + 5
 
 
 def test_vocab_coverage_broadcasts_vocabulary(spark):
