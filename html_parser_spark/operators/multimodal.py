@@ -206,8 +206,14 @@ def sample_frames(payload: bytes, every_n: int = 30):  # pragma: no cover
 MEDIA_SCHEMA = (
     "doc_id bigint, format string, byte_len int, payload_md5 string, "
     "width int, height int, channels int, sample_rate int, n_frames int, "
-    "pixel_md5 string"
+    "pixel_md5 string, status string"
 )
+
+# decode failures route to the status column, never a task crash: at
+# corpus scale truncated/corrupt blobs are a certainty, and one bad row
+# must not kill a 10^12-row stage.  These are the exception classes the
+# pure-stdlib decoders can legitimately raise on hostile bytes.
+_DECODE_ERRORS = (ValueError, struct.error, IndexError, EOFError, zlib.error)
 
 
 def media_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -236,7 +242,7 @@ def _media_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
     cols = (
         "doc_id", "format", "byte_len", "payload_md5", "width", "height",
-        "channels", "sample_rate", "n_frames", "pixel_md5",
+        "channels", "sample_rate", "n_frames", "pixel_md5", "status",
     )
     for pdf in batches:
         rows: dict[str, list] = {k: [] for k in cols}
@@ -245,20 +251,26 @@ def _media_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             fmt = sniff_format(b)
             width = height = channels = sample_rate = n_frames = None
             pixel_md5 = None
-            if fmt == "png":
-                width, height, channels, raw = decode_png(b)
-                n_frames, pixel_md5 = 1, hashlib.md5(raw).hexdigest()
-            elif fmt == "gif":
-                width, height, n_frames, idx = decode_gif(b)
-                channels, pixel_md5 = 1, hashlib.md5(idx).hexdigest()
-            elif fmt == "bmp":
-                width, height, channels, raw = decode_bmp(b)
-                n_frames, pixel_md5 = 1, hashlib.md5(raw).hexdigest()
-            elif fmt == "wav":
-                channels, sample_rate, n_frames, pcm = decode_wav(b)
-                pixel_md5 = hashlib.md5(pcm).hexdigest()
-            elif fmt == "jpeg":
-                width, height, channels = jpeg_dimensions(b)
+            status = "ok"
+            try:
+                if fmt == "png":
+                    width, height, channels, raw = decode_png(b)
+                    n_frames, pixel_md5 = 1, hashlib.md5(raw).hexdigest()
+                elif fmt == "gif":
+                    width, height, n_frames, idx = decode_gif(b)
+                    channels, pixel_md5 = 1, hashlib.md5(idx).hexdigest()
+                elif fmt == "bmp":
+                    width, height, channels, raw = decode_bmp(b)
+                    n_frames, pixel_md5 = 1, hashlib.md5(raw).hexdigest()
+                elif fmt == "wav":
+                    channels, sample_rate, n_frames, pcm = decode_wav(b)
+                    pixel_md5 = hashlib.md5(pcm).hexdigest()
+                elif fmt == "jpeg":
+                    width, height, channels = jpeg_dimensions(b)
+            except _DECODE_ERRORS:
+                width = height = channels = sample_rate = n_frames = None
+                pixel_md5 = None
+                status = "decode_error"
             rows["doc_id"].append(doc_id)
             rows["format"].append(fmt)
             rows["byte_len"].append(len(b))
@@ -269,6 +281,7 @@ def _media_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             rows["sample_rate"].append(sample_rate)
             rows["n_frames"].append(n_frames)
             rows["pixel_md5"].append(pixel_md5)
+            rows["status"].append(status)
         yield pd.DataFrame(rows)
 
 
@@ -315,7 +328,8 @@ def media_metadata_sql(sf_dir: str | None = None) -> str:
            exp_channels AS channels,
            exp_sample_rate AS sample_rate,
            exp_n_frames AS n_frames,
-           exp_pixel_md5 AS pixel_md5
+           exp_pixel_md5 AS pixel_md5,
+           'ok' AS status
     FROM read_parquet('{path}')
     """
 

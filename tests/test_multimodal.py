@@ -212,3 +212,71 @@ def test_gif_frame_sampling_every_n():
     assert [i for i, _ in got] == [0, 2, 4]
     for i, digest in got:
         assert digest == hashlib.md5(frames[i]).hexdigest()
+
+
+def test_corrupt_blobs_route_to_status_not_crash():
+    """Truncated/corrupted payloads of every container must yield a
+    decode_error row, never a raised exception out of the UDF — one bad
+    blob cannot be allowed to kill a corpus-scale stage."""
+    import pandas as pd
+
+    from html_parser_spark.fixtures import ensure_media_blobs
+    from html_parser_spark.operators.multimodal import _media_batches
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(ensure_media_blobs(0.001)).to_pylist()
+    by_fmt = {}
+    for row in t:
+        by_fmt.setdefault(row["exp_format"], bytes(row["payload"]))
+    corrupt = []
+    for fmt, b in sorted(by_fmt.items()):
+        corrupt.append(b[: len(b) // 2])            # truncated
+        corrupt.append(b[:12] + b"\x00" * 8 + b[20:])  # scrambled header
+    corrupt.append(b"\x89PNG\r\n\x1a\n")            # magic only
+    corrupt.append(b"GIF89a")                        # magic only
+    pdf = pd.DataFrame(
+        {"doc_id": list(range(len(corrupt))), "payload": corrupt}
+    )
+    (out,) = list(_media_batches(iter([pdf])))
+    assert len(out) == len(corrupt)
+    # every row produced; failures flagged, none raised
+    assert set(out["status"]) <= {"ok", "decode_error"}
+    assert (out["status"] == "decode_error").sum() >= len(by_fmt)
+    # failed rows carry no partial metadata
+    bad = out[out["status"] == "decode_error"]
+    assert bad["pixel_md5"].isna().all() and bad["width"].isna().all()
+
+
+def test_decoders_never_raise_unexpected_on_fuzz_bytes():
+    """Arbitrary bytes behind each container's magic must either decode
+    or raise one of the operator's routed exception classes — nothing
+    else (and no hang)."""
+    import random
+
+    from html_parser_spark.functions.mediacodecs import (
+        decode_bmp,
+        decode_gif,
+        decode_wav,
+        jpeg_dimensions,
+    )
+    from html_parser_spark.operators.multimodal import (
+        _DECODE_ERRORS,
+        decode_png,
+    )
+
+    rng = random.Random(1234)
+    magics = [
+        (b"\x89PNG\r\n\x1a\n", decode_png),
+        (b"GIF89a", decode_gif),
+        (b"BM", decode_bmp),
+        (b"RIFF\x10\x00\x00\x00WAVE", decode_wav),
+        (b"\xff\xd8\xff", jpeg_dimensions),
+    ]
+    for magic, fn in magics:
+        for _ in range(300):
+            body = bytes(rng.randrange(256) for _ in range(rng.randint(0, 120)))
+            try:
+                fn(magic + body)
+            except _DECODE_ERRORS:
+                pass
