@@ -67,9 +67,12 @@ def run_link_extraction(
     anchor_text, src_start, src_end), one row per harvested link."""
     pruned = df.select("conv_id", "turn_idx", "text")
     if num_partitions is None:
+        # 2× cores, matching pipeline._repartition policy (round-4
+        # clean-window sweep: task overhead overtook per-task Python
+        # after the tokenizer fast paths; see pipeline.py)
         sc = pruned.sparkSession.sparkContext
         num_partitions = max(
-            sc.defaultParallelism * 4,
+            sc.defaultParallelism * 2,
             int(pruned.sparkSession.conf.get("spark.sql.shuffle.partitions")),
         )
     salt = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(salt_k))

@@ -145,12 +145,17 @@ def _salted_udf_stage(
     shuffles get merged under the Python compute), sortWithinPartitions
     for stable (conv_id, turn_idx) order, one Arrow UDF, project."""
     if num_partitions is None:
-        # 4× cores: measured sweet spot on local[32]/sf0.1 (64→13.3k,
-        # 128→16.1k, 256→10.8k turns/s) — small enough tasks to level
-        # text-length skew, large enough to amortize task/worker startup
+        # 2× cores.  4× was the r1 sweet spot (64→13.3k, 128→16.1k,
+        # 256→10.8k turns/s) when per-task Python time dominated; the
+        # round-4 fast paths (tag/entity memos, fused scan) shrank
+        # per-task compute enough that task overhead flipped the curve —
+        # re-measured clean-window sweep at local[32]/sf0.1: 32p→23.6k,
+        # 48p→26.1k, 64p→26.0k, 128p→22.9k turns/s.  2× keeps one wave
+        # of slack for text-length skew (the salt spreads hot
+        # conversations; a single straggler can't serialize the stage).
         sc = pruned.sparkSession.sparkContext
         num_partitions = max(
-            sc.defaultParallelism * 4,
+            sc.defaultParallelism * 2,
             int(pruned.sparkSession.conf.get("spark.sql.shuffle.partitions")),
         )
     salt = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(salt_k))
