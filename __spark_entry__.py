@@ -456,8 +456,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_stats": _conv_stats,
         "conversation_assembly": _conv_assemble,
         # deduplication family
-        "dedup_exact": dedup.exact_duplicates,
+        # dedup_exact retired r4 (0 rows on the gate corpus; its hash-
+        # groupBy core is exercised with values by dedup_keep_list) to
+        # stay inside the 50-row snapshot while adding substring dedup
         "dedup_keep_list": dedup.dedup_keep_list,
+        "dedup_shared_substrings": dedup.shared_substrings,
         "dedup_minhash_candidates": _minhash_candidates,
         "dedup_ngram_jaccard": _ngram_jaccard,
         "dedup_simhash_pairs": dedup.simhash_near_dups,
@@ -518,8 +521,8 @@ def oracle_sql() -> dict[str, str]:
         "tokens_kind_counts": _token_kind_counts_oracle(),
         "display_roundtrip": _display_roundtrip_oracle(),
         "stream_extract": _extract_turns_oracle(),
-        "dedup_exact": dedup.exact_duplicates_sql(),
         "dedup_keep_list": dedup.dedup_keep_list_sql(),
+        "dedup_shared_substrings": dedup.shared_substrings_sql(),
         "dedup_minhash_candidates": dedup.minhash_candidates_sql(**_gate_mh()),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_sql(**_gate_mh()),
         "dedup_embedding_cosine": similarity.embedding_near_dups_sql(),

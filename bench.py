@@ -103,7 +103,7 @@ def main() -> None:
         secondary = [
             "extract_dom_turns",  # round-2: tree builder + DOM scoring
             "pdf_page_text",  # round-2: PDF round trip
-            "dedup_exact",
+            "dedup_shared_substrings",  # round-4: substring-level dedup
             "dedup_minhash_candidates",
             "dedup_simhash_pairs",
             "dedup_embedding_cosine",  # round-2: banded-LSH candidates

@@ -1009,3 +1009,90 @@ def decontaminate_bloom(
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------- substring-level (winnowing)
+
+
+def shared_substrings(
+    spark: SparkSession,
+    sf_dir: str,
+    window: int = 40,
+    sample_prefix: str = "0",
+) -> DataFrame:
+    """Cross-document repeated-substring detection — the substring-level
+    dedup family (Lee et al. 2021 "Deduplicating Training Data Makes
+    Language Models Better": verbatim boilerplate — licenses, headers,
+    templated spans — recurs across documents BELOW the whole-document
+    grain that MinHash/SimHash operate at).  The scalable stand-in for
+    their suffix array is fingerprint sampling in the winnowing / MOSS
+    lineage (Schleimer et al. 2003): hash every ``window``-char sliding
+    window of the normalized text, keep the deterministic sample whose
+    md5 starts with ``sample_prefix`` (1/16 of windows), and report
+    every sampled fingerprint seen in more than one document.
+
+    Output: ``(h, n_docs, n_occ)`` per shared fingerprint, ordered
+    (n_docs DESC, n_occ DESC, h ASC) — the discovery table a cutting
+    pass would join back against positions.
+
+    Plan at 100 TB: window hashing AND sampling are per-row
+    higher-order functions — only the sampled ~1/16 of fingerprints
+    ever leave the row as exploded (h, doc_id) pairs.  The distinct-doc
+    count is two grouping levels, but ONE explicit repartition on ``h``
+    satisfies both (h is a subset of (h, doc_id), so EnsureRequirements
+    inserts no second exchange): exploded pairs cross the wire exactly
+    once, and a naive ``countDistinct`` (which plans its own second
+    shuffle) is avoided.  No joins, no text shuffle; the final sort is
+    presentation-only (drop it / top-K it at scale).  A production
+    variant would sample on a 64-bit hash (8-byte keys); md5 here is
+    the one hash both engines compute identically (CLAUDE.md
+    cross-engine contract).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = _norm()
+    n_win = F.length(t) - window + 1
+    wins = F.when(
+        n_win < 1, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_win),
+            lambda i: F.md5(t.substr(i, F.lit(window))),
+        )
+    )
+    sel = F.filter(wins, lambda h: h.startswith(sample_prefix))
+    per_doc = (
+        docs.select("doc_id", F.explode(sel).alias("h"))
+        .repartition(F.col("h"))
+        .groupBy("h", "doc_id")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    return (
+        per_doc.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("occ").cast("long").alias("n_occ"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy(F.desc("n_docs"), F.desc("n_occ"), F.asc("h"))
+    )
+
+
+def shared_substrings_sql(
+    table: str = "documents", window: int = 40, sample_prefix: str = "0"
+) -> str:
+    """DuckDB twin: the deliberately different formulation (unnest a
+    range, substr per position) so the oracle derives the same answer
+    independently."""
+    return f"""
+    WITH d AS (SELECT doc_id, {NORM_SQL} AS t FROM {table}),
+    w AS (
+      SELECT doc_id, md5(substr(t, CAST(i AS INT), {window})) AS h
+      FROM d, unnest(range(1, greatest(length(t) - {window} + 2, 1))) r(i)),
+    sel AS (SELECT doc_id, h FROM w
+            WHERE substr(h, 1, {len(sample_prefix)}) = '{sample_prefix}')
+    SELECT h,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occ
+    FROM sel GROUP BY h HAVING count(DISTINCT doc_id) > 1
+    ORDER BY n_docs DESC, n_occ DESC, h ASC
+    """

@@ -256,3 +256,56 @@ def test_decontaminate_bloom_equals_exact(spark):
             )
         )
         assert a == b, nb
+
+
+def test_shared_substrings_semantics(spark, tmp_path):
+    """Two documents embedding an identical 60-char span must share all
+    its 40-char window fingerprints; an unrelated doc contributes none.
+    Sampling disabled (empty prefix) so the expectation is exact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from html_parser_spark.operators.dedup import shared_substrings
+
+    boiler = "this exact licensing banner repeats verbatim across documents."
+    assert len(boiler) == 62
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    f"alpha {boiler} omega",
+                    f"gamma gamma {boiler} delta",
+                    "entirely unrelated content with no repeated span at all "
+                    "padded well past the window width for realism",
+                ],
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    rows = shared_substrings(
+        spark, str(tmp_path), window=40, sample_prefix=""
+    ).collect()
+    # every 40-window fully inside the 62-char boiler span is shared;
+    # windows straddling the differing prefixes/suffixes are not
+    assert len(rows) >= 62 - 40 + 1
+    assert all(r.n_docs == 2 and r.n_occ == 2 for r in rows)
+    # deterministic ordering contract
+    keys = [(-r.n_docs, -r.n_occ, r.h) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_shared_substrings_short_docs_yield_no_windows(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from html_parser_spark.operators.dedup import shared_substrings
+
+    pq.write_table(
+        pa.table({"doc_id": [1, 2], "text": ["tiny", "tiny"]}),
+        str(tmp_path / "documents.parquet"),
+    )
+    assert (
+        shared_substrings(spark, str(tmp_path), window=40, sample_prefix="").count()
+        == 0
+    )
