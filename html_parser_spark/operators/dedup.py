@@ -1105,3 +1105,127 @@ def shared_substrings_sql(
     FROM sel GROUP BY h HAVING count(DISTINCT doc_id) > 1
     ORDER BY n_docs DESC, n_occ DESC, h ASC
     """
+
+
+def shared_substring_spans(
+    spark: SparkSession,
+    sf_dir: str,
+    window: int = 40,
+    sample_prefix: str = "0",
+) -> DataFrame:
+    """The cutting-pass companion to :func:`shared_substrings`: per
+    document, the merged character ranges covered by cross-document
+    repeated windows — ``(doc_id, span_start, span_end)``, 1-based
+    start, exclusive end, over the NORMALIZED text (discovery finds the
+    boilerplate; this locates it so a cut/flag pass can act on it,
+    Lee et al. 2021's actual dedup step).
+
+    Overlapping/adjacent window hits merge via the gaps-and-islands
+    pattern: a window function carries the running max span end per
+    document; a hit starting past it opens a new island; islands
+    aggregate to spans.  Plan: the same one-exchange fingerprint
+    aggregation as discovery, a semi-join of positioned hits against
+    the shared set (fingerprint-keyed — broadcastable while the shared
+    table is boilerplate-sized; falls back to a shuffled semi-join past
+    that), one doc_id window + final aggregation.  Sampling means spans
+    are anchored at SAMPLED windows — a conservative under-cover, the
+    standard winnowing guarantee (any shared run ≥ window + gap length
+    contains a sampled anchor).
+    """
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    normed = docs.select(
+        "doc_id",
+        F.explode(F.array(F.struct(_norm().alias("t")))).alias("b"),
+    ).select("doc_id", F.col("b.t").alias("t"))
+    t = F.col("t")
+    n_win = F.length(t) - window + 1
+    wins = F.when(
+        n_win < 1,
+        F.array().cast("array<struct<i:int,h:string>>"),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_win),
+            lambda i: F.struct(
+                i.cast("int").alias("i"),
+                F.md5(t.substr(i, F.lit(window))).alias("h"),
+            ),
+        )
+    )
+    sel = F.filter(wins, lambda w: w["h"].startswith(sample_prefix))
+    hits = normed.select(
+        "doc_id", F.explode(sel).alias("w")
+    ).select("doc_id", F.col("w.i").alias("start"), F.col("w.h").alias("h"))
+    shared = (
+        hits.repartition(F.col("h"))
+        .groupBy("h", "doc_id")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .select("h")
+    )
+    marked = hits.join(F.broadcast(shared), "h", "left_semi").select(
+        "doc_id",
+        F.col("start"),
+        (F.col("start") + window).alias("end"),
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("start")
+    prev_max = F.max("end").over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = marked.withColumn(
+        "new_island",
+        F.when(
+            prev_max.isNull() | (F.col("start") > prev_max), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn("island", F.sum("new_island").over(w_doc))
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("start").cast("long").alias("span_start"),
+            F.max("end").cast("long").alias("span_end"),
+        )
+        .select("doc_id", "span_start", "span_end")
+        .orderBy("doc_id", "span_start")
+    )
+
+
+def shared_substring_spans_sql(
+    table: str = "documents", window: int = 40, sample_prefix: str = "0"
+) -> str:
+    """DuckDB twin of :func:`shared_substring_spans` (independent
+    formulation: unnest-range windows, IN-subquery for the shared set,
+    the same gaps-and-islands merge in window-function SQL)."""
+    return f"""
+    WITH d AS (SELECT doc_id, {NORM_SQL} AS t FROM {table}),
+    w AS (
+      SELECT doc_id, CAST(i AS INT) AS start,
+             md5(substr(t, CAST(i AS INT), {window})) AS h
+      FROM d, unnest(range(1, greatest(length(t) - {window} + 2, 1))) r(i)),
+    sel AS (SELECT * FROM w
+            WHERE substr(h, 1, {len(sample_prefix)}) = '{sample_prefix}'),
+    shared AS (SELECT h FROM sel GROUP BY h
+               HAVING count(DISTINCT doc_id) > 1),
+    hits AS (SELECT doc_id, start, start + {window} AS "end"
+             FROM sel WHERE h IN (SELECT h FROM shared)),
+    isl AS (
+      SELECT doc_id, start, "end",
+             CASE WHEN start > coalesce(
+                    max("end") OVER (PARTITION BY doc_id ORDER BY start
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -1)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM hits),
+    grp AS (
+      SELECT doc_id, start, "end",
+             sum(new_island) OVER (PARTITION BY doc_id ORDER BY start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM isl)
+    SELECT doc_id,
+           CAST(min(start) AS BIGINT) AS span_start,
+           CAST(max("end") AS BIGINT) AS span_end
+    FROM grp GROUP BY doc_id, island
+    ORDER BY doc_id, span_start
+    """
