@@ -76,13 +76,43 @@ def run_link_extraction(
             int(pruned.sparkSession.conf.get("spark.sql.shuffle.partitions")),
         )
     salt = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(salt_k))
-    links = (
+
+    # flat mapInPandas instead of array<struct> UDF + explode: building a
+    # per-row Python list of link tuples makes Arrow walk an object graph
+    # per turn; emitting flat columnar batches (one list per COLUMN)
+    # converts at array speed and drops the JVM Generate entirely.
+    # Measured same-session ABAB at sf0.1: 7.66 s -> 3.52 s (2.2x),
+    # value-identical over 1.25M links (see BENCH.md).
+    def _flat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = (
+            "conv_id", "turn_idx", "link_idx", "href", "anchor_text",
+            "src_start", "src_end",
+        )
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for conv_id, turn_idx, text in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["text"]
+            ):
+                if text is None:
+                    continue
+                for r in extract_links(text):
+                    rows["conv_id"].append(conv_id)
+                    rows["turn_idx"].append(turn_idx)
+                    rows["link_idx"].append(r["link_idx"])
+                    rows["href"].append(r["href"])
+                    rows["anchor_text"].append(r["anchor_text"])
+                    rows["src_start"].append(r["src_start"])
+                    rows["src_end"].append(r["src_end"])
+            yield pd.DataFrame(rows)
+
+    return (
         pruned.repartition(num_partitions, F.col("conv_id"), salt)
         .sortWithinPartitions("conv_id", "turn_idx")
-        .select("conv_id", "turn_idx", links_udf(F.col("text")).alias("links"))
+        .mapInPandas(
+            _flat,
+            schema=(
+                "conv_id string, turn_idx int, link_idx int, href string, "
+                "anchor_text string, src_start int, src_end int"
+            ),
+        )
     )
-    return links.select(
-        "conv_id",
-        "turn_idx",
-        F.explode("links").alias("lk"),
-    ).select("conv_id", "turn_idx", "lk.*")
