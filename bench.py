@@ -121,17 +121,28 @@ def main() -> None:
         ]
         qmap = entry_mod.queries()
         for name in secondary:
-            t0 = time.time()
             df = qmap[name](spark, args.sf_dir)
-            if "main_text" in df.columns:
-                # a bare count() lets Catalyst prune the extraction UDF
-                # column entirely — force the text to materialize
-                df.select(
-                    F.count(F.lit(1)), F.sum(F.length("main_text"))
-                ).first()
-            else:
-                df.count()
-            queries[name] = round(time.time() - t0, 3)
+
+            def _force():
+                if "main_text" in df.columns:
+                    # a bare count() lets Catalyst prune the extraction
+                    # UDF column entirely — force the text to materialize
+                    df.select(
+                        F.count(F.lit(1)), F.sum(F.length("main_text"))
+                    ).first()
+                else:
+                    df.count()
+
+            # best of 2: a single cold pass records whatever co-tenant
+            # steal window the snapshot lands in (observed 2-3× on every
+            # query in one run); the second pass is the same protocol the
+            # headline already uses (steal-robust minimum)
+            walls = []
+            for _ in range(2):
+                t0 = time.time()
+                _force()
+                walls.append(time.time() - t0)
+            queries[name] = round(min(walls), 3)
 
     out = {
         "metric": "extraction_turns_per_sec",
