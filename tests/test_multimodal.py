@@ -280,3 +280,55 @@ def test_decoders_never_raise_unexpected_on_fuzz_bytes():
                 fn(magic + body)
             except _DECODE_ERRORS:
                 pass
+
+
+def test_resize_and_features_semantics():
+    from html_parser_spark.functions.mediacodecs import (
+        audio_energy,
+        image_features,
+        resize_nearest,
+    )
+
+    rng = random.Random(12)
+    # identity resize
+    raw = bytes(rng.randrange(256) for _ in range(6 * 5 * 3))
+    assert resize_nearest(raw, 6, 5, 3, 6, 5) == raw
+    # downscale picks exact source pixels: 4x4 -> 2x2 takes (0,0),(2,0),(0,2),(2,2)
+    gray = bytes(range(16))
+    assert resize_nearest(gray, 4, 4, 1, 2, 2) == bytes([0, 2, 8, 10])
+    # upscale of a constant image is constant
+    assert resize_nearest(bytes([9] * 4), 2, 2, 1, 5, 5) == bytes([9] * 25)
+    # channel features: exact integer arithmetic
+    rgb = bytes([10, 0, 255, 20, 0, 255])  # 2 px RGB
+    assert image_features(rgb, 3) == [
+        (15000, 10, 20), (0, 0, 0), (255000, 255, 255),
+    ]
+    import struct
+
+    assert audio_energy(struct.pack("<3h", 100, -2, 0), 1) == 10000 + 4
+
+
+def test_media_features_operator(spark):
+    """decode -> resize/feature-extract over the mixed fixture: every
+    image row carries a thumbnail fingerprint + channel stats, every wav
+    row the integer energy, jpeg rows the honest no_pixels status."""
+    from html_parser_spark.operators.multimodal import media_features
+
+    rows = media_features(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) >= 80
+    by_fmt = {}
+    for r in rows:
+        by_fmt.setdefault(r.format, []).append(r)
+    for fmt in ("png", "gif", "bmp"):
+        for r in by_fmt[fmt]:
+            assert r.status == "ok" and len(r.thumb_md5) == 32
+            assert 0 <= r.ch0_min <= r.ch0_max <= 255
+            assert r.ch0_min * 1000 <= r.ch0_mean_milli <= r.ch0_max * 1000
+            assert r.energy is None
+    for r in by_fmt["wav"]:
+        assert r.status == "ok" and r.energy >= 0 and r.thumb_md5 is None
+    for r in by_fmt["jpeg"]:
+        assert r.status == "no_pixels" and r.thumb_md5 is None
+    # deterministic: same blob -> same fingerprint across runs
+    again = {r.doc_id: r.thumb_md5 for r in media_features(spark, "/root/testdata/sf0.001").collect()}
+    assert all(again[r.doc_id] == r.thumb_md5 for r in rows)
