@@ -49,6 +49,18 @@ GATE_N_HASHES = 8
 GATE_N_BANDS = 4
 
 
+# seeded Carter-Wegman coefficients for the "fast" MinHash family
+# (deterministic across runs/executors; ODD multipliers so a_k·x+b_k
+# mod 2^32 is a bijection of the 32-bit base-hash domain; 31-bit range
+# keeps a_k*h + b_k inside 63 bits — no signed-long overflow pre-mask)
+import random as _random
+
+_cw_rng = _random.Random(0xD5)
+_CW_A = [(_cw_rng.randrange(1, 1 << 31)) | 1 for _ in range(512)]
+_CW_B = [_cw_rng.randrange(0, 1 << 31) for _ in range(512)]
+del _cw_rng
+
+
 def _norm():
     return F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
 
@@ -112,12 +124,66 @@ SHINGLES_SQL = f"""
 
 
 def minhash_signatures(
-    spark: SparkSession, sf_dir: str, n_hashes: int = N_HASHES
+    spark: SparkSession,
+    sf_dir: str,
+    n_hashes: int = N_HASHES,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Per-doc MinHash signature: for seed s, min over shingles of
-    md5('s|' || shingle) — md5-hex min is a valid exchangeable hash family
-    and is bit-identical in DuckDB."""
+    hash(s, shingle).
+
+    Two hash families, same exchangeable-family math:
+
+    - ``md5`` (default): min over md5-hex strings computed inside a
+      per-element array transform — bit-identical in DuckDB, so every
+      gate-oracled query uses it.
+    - ``fast``: the CORPUS-SCALE family — classic Carter-Wegman
+      universal hashing (Broder's original MinHash construction):
+      hash each shingle ONCE (xxhash64 → 32-bit base h), then derive
+      the k-th hash as ``(a_k·h + b_k) mod 2^32`` with seeded ODD
+      multipliers — 128 integer multiply-adds in straight-line
+      whole-stage codegen instead of 128 string hashes in an
+      interpreted array lambda.  The modulus MUST equal the base-hash
+      domain: with odd a, x → a·x+b mod 2^32 is a bijection of
+      [0, 2^32) — a genuine seeded permutation, the exchangeable
+      family MinHash requires.  (A wider mask like 2^62 is a trap:
+      a·h < 2^63 wraps the modulus at most once, so the map is
+      near-MONOTONIC in h and all 128 "independent" min-hashes are
+      dominated by the doc's min base hash — measured band-collision
+      prob collapses from the S-curve 1-(1-J^8)^16 to ≈J itself,
+      e.g. 0.50 observed vs 0.061 theoretical at J=0.5, and the
+      cross-hash agreement sd is 49 vs the binomial 5.7.)  Shape also
+      changes: shingles EXPLODE to rows and the min is a
+      map-side-combinable aggregation (the exchange moves one 128-long
+      row per doc per partition), because per-element lambda
+      evaluation — not md5 itself — was half the cost.  Measured on
+      the 92k-doc corpus-job input: md5-transform 124.7 s → fast
+      12.6 s steady-state (~10×).  LSH needs only a uniform
+      exchangeable family and the verify stage (exact Jaccard) is
+      family-independent, so keep-list SEMANTICS are unchanged — only
+      which true pairs the bands surface varies within the same
+      S-curve (tests/test_dedup_fast_family.py pins both recall at
+      J≥0.9 and verify-stage precision).
+    """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if hash_family == "fast":
+        rows = docs.select("doc_id", F.explode(_shingles()).alias("s"))
+        base = rows.select(
+            "doc_id",
+            F.xxhash64("s").bitwiseAND(F.lit((1 << 32) - 1)).alias("h"),
+        )
+        proj = base.select(
+            "doc_id",
+            *[
+                (F.lit(_CW_A[k]) * F.col("h") + F.lit(_CW_B[k]))
+                .bitwiseAND(F.lit((1 << 32) - 1))
+                .alias(f"h{k}")
+                for k in range(n_hashes)
+            ],
+        )
+        return proj.groupBy("doc_id").agg(
+            *[F.min(f"h{k}").alias(f"mh{k}") for k in range(n_hashes)]
+        )
     # Generate barrier: explode of a 1-element array materializes the
     # shingle pipeline ONCE per row.  Referencing the shingle EXPRESSION
     # from every mh column instead lets CollapseProject inline it 128×
@@ -145,23 +211,28 @@ def minhash_signatures_sql(
 
 
 def minhash_band_keys(
-    sig: DataFrame, n_hashes: int = N_HASHES, n_bands: int = N_BANDS
+    sig: DataFrame,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    hash_family: str = "md5",
 ) -> DataFrame:
-    """Signature → (doc_id, band, band_key); band_key = md5 of the band's
-    concatenated min-hashes.  Self-join on (band, band_key) yields LSH
-    candidates."""
+    """Signature → (doc_id, band, band_key); band_key = a hash of the
+    band's min-hashes (md5 over the concat, or one xxhash64 over the
+    band's longs — an 8-byte join key instead of a 32-char string).
+    Self-join on (band, band_key) yields LSH candidates."""
     rows_per_band = n_hashes // n_bands
+
+    def _key(b):
+        members = [
+            F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]
+        if hash_family == "fast":
+            return F.xxhash64(*members)
+        return F.md5(F.concat_ws("|", *members))
+
     bands = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
-                    )
-                ).alias("band_key"),
-            )
+            F.struct(F.lit(b).alias("band"), _key(b).alias("band_key"))
             for b in range(n_bands)
         ]
     )
@@ -175,6 +246,7 @@ def minhash_candidates(
     sf_dir: str,
     n_hashes: int = N_HASHES,
     n_bands: int = N_BANDS,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """LSH candidate pairs (doc_a < doc_b) — docs sharing ≥1 band key.
 
@@ -184,7 +256,10 @@ def minhash_candidates(
     of once per side — measured 2.0× on sf0.1 (13.2 s → 6.3 s, ABAB);
     without it each side's scan recomputes the signatures."""
     keys = minhash_band_keys(
-        minhash_signatures(spark, sf_dir, n_hashes), n_hashes, n_bands
+        minhash_signatures(spark, sf_dir, n_hashes, hash_family),
+        n_hashes,
+        n_bands,
+        hash_family,
     ).repartition(
         int(
             spark.conf.get("spark.sql.shuffle.partitions")
@@ -241,6 +316,7 @@ def ngram_jaccard(
     threshold: float = 0.0,
     n_hashes: int = N_HASHES,
     n_bands: int = N_BANDS,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Exact shingle-set Jaccard for LSH candidate pairs (verification
     stage of MinHash dedup).  Only bucket collisions are scored — never
@@ -248,7 +324,7 @@ def ngram_jaccard(
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", _shingles().alias("sh")
     )
-    cand = minhash_candidates(spark, sf_dir, n_hashes, n_bands)
+    cand = minhash_candidates(spark, sf_dir, n_hashes, n_bands, hash_family)
     j = (
         cand.join(docs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
         .join(docs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
@@ -451,6 +527,7 @@ def near_dup_edges(
     max_hamming: int = 3,
     n_hashes: int = N_HASHES,
     n_bands: int = N_BANDS,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Verified near-duplicate edges (doc_a < doc_b): MinHash-LSH
     candidates that PASS the exact-Jaccard verify stage, unioned with
@@ -460,7 +537,7 @@ def near_dup_edges(
     irreversibly."""
     mh = ngram_jaccard(
         spark, sf_dir, threshold=jaccard_threshold,
-        n_hashes=n_hashes, n_bands=n_bands,
+        n_hashes=n_hashes, n_bands=n_bands, hash_family=hash_family,
     ).select("doc_a", "doc_b")
     sh = simhash_near_dups(spark, sf_dir, max_hamming=max_hamming).select(
         "doc_a", "doc_b"
@@ -474,6 +551,7 @@ def dedup_cluster_keep_list(
     max_iter: int = 25,
     n_hashes: int = N_HASHES,
     n_bands: int = N_BANDS,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Near-dup cluster resolution: connected components over the verified
     edge graph by iterative min-label propagation, then one row per
@@ -492,7 +570,10 @@ def dedup_cluster_keep_list(
     round; edges and labels are persisted so no round recomputes the
     signature pipelines."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-    edges = near_dup_edges(spark, sf_dir, n_hashes=n_hashes, n_bands=n_bands)
+    edges = near_dup_edges(
+        spark, sf_dir, n_hashes=n_hashes, n_bands=n_bands,
+        hash_family=hash_family,
+    )
     return connected_components(docs, edges, max_iter)
 
 

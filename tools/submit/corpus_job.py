@@ -60,6 +60,15 @@ def main() -> None:
     ap.add_argument("--pack-groups", type=int, default=8)
     ap.add_argument("--n-hashes", type=int, default=128)
     ap.add_argument("--n-bands", type=int, default=16)
+    ap.add_argument(
+        "--hash-family",
+        default="fast",
+        choices=("md5", "fast"),
+        help="MinHash family: 'fast' (Carter-Wegman over one xxhash64 "
+        "per shingle; codegen, ~10x the md5 signature stage at corpus "
+        "scale) or 'md5' (the gate-oracle family, bit-identical in "
+        "DuckDB).  Both drive the same exact-Jaccard verify stage.",
+    )
     ap.add_argument("--gram-width", type=int, default=8)
     ap.add_argument("--eval-modulus", type=int, default=25)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
@@ -156,7 +165,8 @@ def main() -> None:
     # 3. DEDUP — exact + verified near-dup clusters, keep representatives
     t0 = time.time()
     clusters = dedup_cluster_keep_list(
-        spark, d2, n_hashes=args.n_hashes, n_bands=args.n_bands
+        spark, d2, n_hashes=args.n_hashes, n_bands=args.n_bands,
+        hash_family=args.hash_family,
     ).persist()
     clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
     keepers = clusters.filter(F.col("is_keeper") == 1).select("doc_id")
