@@ -46,6 +46,88 @@ def test_near_dup_pairs_match_bruteforce(spark):
         assert bin(sk[a] ^ sk[b]).count("1") == h
 
 
+def _planted_corpus(tmp_path):
+    """Identical-sketch groups + one-word variants (small hamming) +
+    unrelated texts — exercises the star, rep-edge, and singleton arms."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    rows = {
+        1: base * 3,
+        2: base * 3,          # identical to 1
+        3: base * 3,          # identical to 1 (group of 3 → star)
+        4: (base * 3).replace("lazy", "sleepy"),   # near variant
+        5: "completely unrelated text about spark catalyst planning",
+        6: "another distinct document mentioning parquet and arrow",
+        7: "third loner with its own vocabulary entirely separate",
+    }
+    pq.write_table(
+        pa.table(
+            {"doc_id": list(rows), "text": [rows[k] for k in rows]}
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    return str(tmp_path)
+
+
+def _components(ids, edges):
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return frozenset(
+        frozenset(i for i in ids if find(i) == r)
+        for r in {find(i) for i in ids}
+    )
+
+
+def test_component_edges_equal_full_pair_components(spark, tmp_path):
+    """simhash_component_edges (stars + rep edges over distinct sketch
+    values) must yield EXACTLY the components of the full pair set, with
+    no more edges than pairs."""
+    from html_parser_spark.operators.dedup import simhash_component_edges
+
+    sf = _planted_corpus(tmp_path)
+    ids = [r.doc_id for r in simhash_sketches(spark, sf).select("doc_id").collect()]
+    pairs = [
+        (r.doc_a, r.doc_b) for r in simhash_near_dups(spark, sf).collect()
+    ]
+    edges = [
+        (r.doc_a, r.doc_b)
+        for r in simhash_component_edges(spark, sf).collect()
+    ]
+    assert pairs, "planted corpus must produce near-dup pairs"
+    assert _components(ids, edges) == _components(ids, pairs)
+    assert len(edges) <= len(pairs)
+    # the identical group {1,2,3} must be one component either way
+    comp = {frozenset(c) for c in _components(ids, edges) if 1 in c}
+    assert {1, 2, 3} <= set(next(iter(comp)))
+
+
+def test_near_dups_invariant_in_n_blocks(spark, tmp_path):
+    """The generalized pigeonhole is recall-lossless at any geometry: the
+    exact hamming filter makes the output invariant in n_blocks."""
+    sf = _planted_corpus(tmp_path)
+    for m in (4, 6, 8):
+        got = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in simhash_near_dups(spark, sf, n_blocks=m).collect()
+        }
+        if m == 4:
+            want = got
+        else:
+            assert got == want, m
+
+
 def test_numpy_simhash_twin_equals_reference_loop():
     """The vectorized vote/threshold must equal the pure-Python
     definition bit-for-bit (it feeds the oracled sketches)."""
