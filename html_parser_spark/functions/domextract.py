@@ -108,8 +108,14 @@ def _segment(
     return cur
 
 
-def score_blocks(doc: Element) -> list[dict]:
-    """Flatten the DOM into scored text blocks (document order)."""
+def score_blocks(doc: Element, with_stopwords: bool = True) -> list[dict]:
+    """Flatten the DOM into scored text blocks (document order).
+
+    ``with_stopwords=False`` skips the stopword_density tokenization —
+    the signal is advisory (the keep decision uses only the three
+    structural scores), and the lower/split/set-membership pass is a
+    measurable slice of the per-doc cost, so the hot extraction path
+    opts out while block-level consumers keep the default."""
     blocks: list[_Block] = []
     root = _Block(False, False)
     root = _segment(doc, False, False, False, blocks, root)
@@ -121,8 +127,12 @@ def score_blocks(doc: Element) -> list[dict]:
         if not text:
             continue
         n = len(text)
-        toks = text.lower().split()
-        stop_hits = sum(1 for w in toks if w in _STOPWORDS)
+        if with_stopwords:
+            toks = text.lower().split()
+            stop_hits = sum(1 for w in toks if w in _STOPWORDS)
+            stop_density = stop_hits / len(toks) if toks else 0.0
+        else:
+            stop_density = 0.0
         out.append(
             {
                 "text": text,
@@ -131,7 +141,7 @@ def score_blocks(doc: Element) -> list[dict]:
                 "n_tags": b.tags,
                 "text_density": n / (1.0 + b.tags),
                 "link_density": min(1.0, b.link_chars / n),
-                "stopword_density": stop_hits / len(toks) if toks else 0.0,
+                "stopword_density": stop_density,
                 "boiler": b.boiler or b.drop,
             }
         )
@@ -150,7 +160,7 @@ def dom_extract(
     provenance offsets into the RAW input (the block text itself is
     whitespace-normalized, so spans locate, they don't slice)."""
     doc, status, err = parse_html(text)
-    blocks = score_blocks(doc)
+    blocks = score_blocks(doc, with_stopwords=False)
     kept = [
         b
         for b in blocks
