@@ -128,6 +128,41 @@ def test_near_dups_invariant_in_n_blocks(spark, tmp_path):
             assert got == want, m
 
 
+def test_pigeonhole_recall_property():
+    """The generalized pigeonhole NEVER misses: for ANY pair of 64-bit
+    sketches within max_hamming bits, at least one (combo, packed-block)
+    bucket key is shared, at every block geometry.  Pure-Python twin of
+    the _pigeonhole_keys block/shift layout (xxhash64 over equal inputs
+    is equal, so tuple equality here implies key equality there)."""
+    import random
+    from itertools import combinations
+
+    def keys(v, n_blocks, max_hamming):
+        agree = n_blocks - max_hamming
+        base, rem = divmod(64, n_blocks)
+        widths = [base + (1 if i < rem else 0) for i in range(n_blocks)]
+        shifts = [sum(widths[:i]) for i in range(n_blocks)]
+        blocks = [(v >> shifts[i]) & ((1 << widths[i]) - 1) for i in range(n_blocks)]
+        out = set()
+        for ci, combo in enumerate(combinations(range(n_blocks), agree)):
+            packed = 0
+            for i in combo:
+                packed = (packed << widths[i]) | blocks[i]
+            out.add((ci, packed))
+        return out
+
+    rng = random.Random(20260818)
+    for _ in range(500):
+        a = rng.getrandbits(64)
+        h = rng.randint(0, 3)
+        flip = rng.sample(range(64), h)
+        b = a
+        for bit in flip:
+            b ^= 1 << bit
+        for m in (4, 5, 6, 8):
+            assert keys(a, m, 3) & keys(b, m, 3), (hex(a), flip, m)
+
+
 def test_numpy_simhash_twin_equals_reference_loop():
     """The vectorized vote/threshold must equal the pure-Python
     definition bit-for-bit (it feeds the oracled sketches)."""
