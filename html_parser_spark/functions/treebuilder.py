@@ -85,6 +85,10 @@ _SCOPE_BARRIER = frozenset(
 )
 _BUTTON_SCOPE_EXTRA = frozenset(["button"])
 _LIST_SCOPE_EXTRA = frozenset(["ol", "ul"])
+# pre-unioned barrier sets: the p/li scope checks run on EVERY
+# block-level start tag, and a per-call frozenset union is measurable
+_BUTTON_SCOPE_BARRIER = _SCOPE_BARRIER | _BUTTON_SCOPE_EXTRA
+_LIST_SCOPE_BARRIER = _SCOPE_BARRIER | _LIST_SCOPE_EXTRA
 
 # current-node tags that trigger foster parenting for non-table content
 _FOSTER_CTX = frozenset(["table", "tbody", "thead", "tfoot", "tr"])
@@ -233,13 +237,10 @@ class TreeBuilder:
             if el.tag == tag:
                 return
 
-    def _in_scope(self, tag: str, extra_barriers=frozenset()) -> bool:
-        # avoid the per-call set union on the hot no-extra-barriers path
-        barriers = (
-            _SCOPE_BARRIER
-            if not extra_barriers
-            else _SCOPE_BARRIER | extra_barriers
-        )
+    def _in_scope(self, tag: str, barriers=_SCOPE_BARRIER) -> bool:
+        # callers with a wider scope pass a PRE-UNIONED barrier set
+        # (_BUTTON_SCOPE_BARRIER / _LIST_SCOPE_BARRIER) — never a
+        # per-call union
         for el in reversed(self.open_elements):
             if el.tag == tag:
                 return True
@@ -547,11 +548,11 @@ class TreeBuilder:
         self._ensure_body()
 
         if tag == "p" or tag in P_CLOSERS:
-            if self._in_scope("p", _BUTTON_SCOPE_EXTRA):
+            if self._in_scope("p", _BUTTON_SCOPE_BARRIER):
                 self._close_p()
         if tag in HEADINGS and self.current().tag in HEADINGS:
             self.open_elements.pop()  # spec: implied </hN>
-        if tag == "li" and self._in_scope("li", _LIST_SCOPE_EXTRA):
+        if tag == "li" and self._in_scope("li", _LIST_SCOPE_BARRIER):
             self._generate_implied_end_tags(exclude="li")
             self._pop_until("li")
         if tag in ("dd", "dt"):
@@ -653,7 +654,7 @@ class TreeBuilder:
         if self.mode != "in_body":
             return
         if tag == "p":
-            if not self._in_scope("p", _BUTTON_SCOPE_EXTRA):
+            if not self._in_scope("p", _BUTTON_SCOPE_BARRIER):
                 # spec: synthesize an empty <p> then close it
                 self._insert_element("p")
             self._close_p()
@@ -667,7 +668,7 @@ class TreeBuilder:
                         break
             return
         if tag == "li":
-            if self._in_scope("li", _LIST_SCOPE_EXTRA):
+            if self._in_scope("li", _LIST_SCOPE_BARRIER):
                 self._generate_implied_end_tags(exclude="li")
                 self._pop_until("li")
             return
