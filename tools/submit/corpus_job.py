@@ -175,6 +175,11 @@ def main() -> None:
     )
     d3 = write_docs(deduped, "deduped")
     clusters.unpersist()
+    # the edge builders persist their sketch/signature frames internally
+    # (each is read 2-3× inside one stage); nothing cached is wanted past
+    # this boundary, so drop it all rather than carry executor storage
+    # into the text-scanning stages that follow
+    spark.catalog.clearCache()
     n3 = spark.read.parquet(f"{d3}/documents.parquet").count()
     stage("dedup", n2, n3, t0)
 
