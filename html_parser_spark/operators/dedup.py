@@ -165,7 +165,18 @@ def minhash_signatures(
       S-curve (tests/test_dedup_fast_family.py pins both recall at
       J≥0.9 and verify-stage precision).
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_signatures_of(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), n_hashes, hash_family
+    )
+
+
+def minhash_signatures_of(
+    docs: DataFrame, n_hashes: int = N_HASHES, hash_family: str = "md5"
+) -> DataFrame:
+    """DataFrame-input core of :func:`minhash_signatures` — same two
+    hash families, for callers whose documents don't live at a
+    ``sf_dir`` (the incremental-ingest job's freshly extracted batch,
+    a stored corpus read through the table seam)."""
     if hash_family == "fast":
         rows = docs.select("doc_id", F.explode(_shingles()).alias("s"))
         base = rows.select(
@@ -1128,6 +1139,125 @@ def incremental_dedup_sql(
     LEFT JOIN agg ON agg.doc_id = d.doc_id
     ORDER BY d.doc_id
     """
+
+
+def incremental_dedup_against(
+    batch_docs: DataFrame,
+    corpus_keys: DataFrame,
+    corpus_docs: DataFrame,
+    jaccard_threshold: float = 0.5,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    hash_family: str = "fast",
+) -> DataFrame:
+    """Two-table :func:`incremental_dedup`: dedupe ``batch_docs``
+    (doc_id, text) against an existing corpus represented by its STORED
+    band-key table ``corpus_keys`` (doc_id, band, band_key — maintained
+    by prior ingests; ``hash_family`` must match how it was built) and
+    the corpus document store ``corpus_docs`` (doc_id, text).  Same
+    output contract as :func:`incremental_dedup`: one row per batch doc,
+    ``(doc_id, status, dup_of)`` with corpus precedence and greedy-by-id
+    batch-internal resolution.  Batch and corpus doc_id spaces must be
+    disjoint (salt ingest ids).
+
+    Scale shape — what the single-table gate version derives in-plan,
+    this one does against real artifacts:
+    - batch band keys are ingest-sized → BROADCAST against one scan of
+      the stored key table; the 10^12-row key table never shuffles and
+      the corpus documents are not even touched for candidates,
+    - corpus TEXT is read only for verify, semi-joined down to the
+      candidate match ids (broadcast again) before shingling — the
+      verify stage shingles O(candidates) corpus docs, not the corpus.
+    """
+    batch_keys = minhash_band_keys(
+        minhash_signatures_of(batch_docs, n_hashes, hash_family),
+        n_hashes,
+        n_bands,
+        hash_family,
+    ).persist()
+    vs_corpus = (
+        F.broadcast(batch_keys.alias("b"))
+        .join(
+            corpus_keys.alias("c"),
+            (F.col("b.band") == F.col("c.band"))
+            & (F.col("b.band_key") == F.col("c.band_key")),
+        )
+        .select(
+            F.col("b.doc_id").alias("batch_id"),
+            F.col("c.doc_id").alias("match_id"),
+            F.lit("corpus").alias("kind"),
+        )
+    )
+    vs_batch = (
+        batch_keys.alias("x")
+        .join(
+            batch_keys.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("y.doc_id").alias("batch_id"),
+            F.col("x.doc_id").alias("match_id"),
+            F.lit("batch").alias("kind"),
+        )
+    )
+    cand = vs_corpus.unionByName(vs_batch).distinct().persist()
+
+    sh_b = batch_docs.select("doc_id", _shingles().alias("sh"))
+    matched_corpus = corpus_docs.join(
+        F.broadcast(
+            cand.filter(F.col("kind") == "corpus").select(
+                F.col("match_id").alias("doc_id")
+            ).distinct()
+        ),
+        "doc_id",
+        "left_semi",
+    )
+    sh_m = matched_corpus.select("doc_id", _shingles().alias("sh")).unionByName(
+        sh_b  # batch-internal matches verify against batch shingles
+    )
+    verified = (
+        cand.join(
+            sh_b.withColumnRenamed("doc_id", "batch_id").withColumnRenamed(
+                "sh", "sh_b"
+            ),
+            "batch_id",
+        )
+        .join(
+            sh_m.withColumnRenamed("doc_id", "match_id").withColumnRenamed(
+                "sh", "sh_m"
+            ),
+            "match_id",
+        )
+        .filter(
+            F.size(F.array_intersect("sh_b", "sh_m")).cast("double")
+            / F.greatest(F.size(F.array_union("sh_b", "sh_m")), F.lit(1))
+            >= jaccard_threshold
+        )
+        .select("batch_id", "match_id", "kind")
+    )
+    agg = verified.groupBy(F.col("batch_id").alias("doc_id")).agg(
+        F.min(F.when(F.col("kind") == "corpus", F.col("match_id"))).alias(
+            "corpus_min"
+        ),
+        F.min(F.when(F.col("kind") == "batch", F.col("match_id"))).alias(
+            "batch_min"
+        ),
+    )
+    return (
+        batch_docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("corpus_min").isNotNull(), F.lit("dup_of_corpus"))
+            .when(F.col("batch_min").isNotNull(), F.lit("dup_in_batch"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+            F.coalesce("corpus_min", "batch_min").cast("long").alias("dup_of"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def decontaminate_bloom(

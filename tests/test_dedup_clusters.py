@@ -150,6 +150,60 @@ def test_incremental_dedup_corpus_precedence(spark, tmp_path):
     assert (rows[25].status, rows[25].dup_of) == ("dup_of_corpus", 5)
 
 
+def _against_fixture(spark):
+    """Corpus (1, 2) + batch (101..104): 101 dups corpus 1; 102/103 dup
+    each other; 104 matches BOTH corpus 2 and batch 102 (corpus wins)."""
+    dup_a = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    dup_b = "one two three four five six seven eight nine ten " * 4
+    dup_c = "red orange yellow green blue indigo violet colors " * 4
+    corpus = spark.createDataFrame(
+        [(1, dup_a), (2, dup_c)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (101, dup_a),
+            (102, dup_b),
+            (103, dup_b),
+            (104, dup_c),
+            (105, "a fresh unique batch document with its own words"),
+        ],
+        "doc_id long, text string",
+    )
+    keys = dedup.minhash_band_keys(
+        dedup.minhash_signatures_of(corpus, 8, "fast"), 8, 4, "fast"
+    )
+    return batch, keys, corpus
+
+
+def test_incremental_against_stored_keys(spark):
+    batch, keys, corpus = _against_fixture(spark)
+    rows = {
+        r.doc_id: r
+        for r in dedup.incremental_dedup_against(
+            batch, keys, corpus, n_hashes=8, n_bands=4
+        ).collect()
+    }
+    assert set(rows) == {101, 102, 103, 104, 105}
+    assert (rows[101].status, rows[101].dup_of) == ("dup_of_corpus", 1)
+    assert (rows[102].status, rows[102].dup_of) == ("kept", None)
+    assert (rows[103].status, rows[103].dup_of) == ("dup_in_batch", 102)
+    assert (rows[104].status, rows[104].dup_of) == ("dup_of_corpus", 2)
+    assert (rows[105].status, rows[105].dup_of) == ("kept", None)
+
+
+def test_incremental_against_broadcasts_batch(spark):
+    """The stored key table must never shuffle: the batch-vs-corpus
+    candidate join is a BroadcastHashJoin."""
+    batch, keys, corpus = _against_fixture(spark)
+    plan = (
+        dedup.incremental_dedup_against(batch, keys, corpus, n_hashes=8, n_bands=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
 def test_incremental_dedup_broadcasts_batch_side(spark):
     """The batch→corpus candidate join must broadcast the batch keys —
     the corpus band-key table never shuffles for it."""
