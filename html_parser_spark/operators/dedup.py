@@ -421,23 +421,44 @@ def simhash64(words: list) -> int:
     return out
 
 
+# word → 64-bit md5-prefix hash, memoized per executor (values are
+# immutable ints — the CLAUDE.md memo rule).  Natural text is Zipf:
+# most occurrences are of already-seen words, so the md5 call — the
+# sketch stage's dominant cost — mostly becomes a dict hit.
+_WORD_H_MEMO: dict = {}
+_WORD_H_MEMO_MAX = 1 << 20  # ~60 MB/executor worst case; clear-on-full
+
+
 def _simhash64_np(words: list) -> int:
     """Vectorized twin of :func:`simhash64` (identical output, asserted
-    in tests): md5 stays per-word (hashlib), but the 64-bit vote/
-    threshold runs as one numpy broadcast instead of a 64×words Python
-    loop — ~10× on long documents."""
+    in tests): per-DISTINCT-word md5 (memoized across docs) with the
+    occurrence count folded into the vote — the sum is order-independent
+    exact int64 arithmetic, so collapsing repeats is bit-identical —
+    and the 64-bit vote/threshold as one numpy broadcast instead of a
+    64×words Python loop.  Measured 5.1× over the hash-every-occurrence
+    form on 8,000 extracted corpus docs (BENCH.md round 4)."""
     import hashlib
+    from collections import Counter
 
     import numpy as np
 
     if not words:
         return 0
-    hs = np.frombuffer(
-        b"".join(hashlib.md5(w.encode("utf-8")).digest()[:8] for w in words),
-        dtype=">u8",
-    ).astype(np.uint64)
+    cnt = Counter(words)
+    uw = list(cnt)
+    memo = _WORD_H_MEMO
+    hs = np.empty(len(uw), dtype=np.uint64)
+    for i, w in enumerate(uw):
+        h = memo.get(w)
+        if h is None:
+            h = int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8], "big")
+            if len(memo) >= _WORD_H_MEMO_MAX:
+                memo.clear()
+            memo[w] = h
+        hs[i] = h
+    counts = np.fromiter(cnt.values(), dtype=np.int64, count=len(uw))
     bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-    acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    acc = ((2 * bits.astype(np.int64) - 1) * counts[:, None]).sum(axis=0)
     weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
     return int((weights[acc > 0]).sum(dtype=np.uint64))
 
