@@ -160,6 +160,47 @@ def dom_extract(
     provenance offsets into the RAW input (the block text itself is
     whitespace-normalized, so spans locate, they don't slice)."""
     doc, status, err = parse_html(text)
+    return dom_extract_from_tree(
+        doc,
+        status,
+        err,
+        min_text_density=min_text_density,
+        max_link_density=max_link_density,
+    )
+
+
+def dom_extract_from_tokens(
+    tokens,
+    status: str = "ok",
+    err: int = 0,
+    *,
+    min_text_density: float = DEFAULT_MIN_TEXT_DENSITY,
+    max_link_density: float = DEFAULT_MAX_LINK_DENSITY,
+) -> dict:
+    """DOM policy over an already-produced token stream — the seam the
+    fused one-tokenize pipeline (pipeline.run_extraction_full) uses so
+    the token policy, the DOM policy, and the link harvest share one
+    tokenize pass.  Identical output to :func:`dom_extract` on the same
+    text's stream."""
+    from .treebuilder import build_tree
+
+    return dom_extract_from_tree(
+        build_tree(tokens),
+        status,
+        err,
+        min_text_density=min_text_density,
+        max_link_density=max_link_density,
+    )
+
+
+def dom_extract_from_tree(
+    doc: Element,
+    status: str = "ok",
+    err: int = 0,
+    *,
+    min_text_density: float = DEFAULT_MIN_TEXT_DENSITY,
+    max_link_density: float = DEFAULT_MAX_LINK_DENSITY,
+) -> dict:
     blocks = score_blocks(doc, with_stopwords=False)
     kept = [
         b

@@ -149,3 +149,58 @@ def test_fused_extraction_links_matches_separate(spark):
         map(tuple, run_link_extraction(df, num_partitions=8).collect())
     )
     assert got_links == want_links
+
+
+def test_full_fused_extraction_matches_all_three(spark):
+    """run_extraction_full must reproduce the token policy, the DOM
+    policy, AND the link harvest exactly from its single tokenize."""
+    from pyspark.sql import functions as F
+
+    from html_parser_spark.fixtures import ensure_transcripts
+    from html_parser_spark.operators.linkops import run_link_extraction
+    from html_parser_spark.operators.pipeline import (
+        run_dom_extraction,
+        run_extraction,
+        run_extraction_full,
+    )
+
+    df = spark.read.parquet(ensure_transcripts(0.001))
+    fused = run_extraction_full(df, num_partitions=8)
+
+    ext_cols = ["conv_id", "turn_idx", "main_text", "spans", "err_count",
+                "parse_status", "n_tokens", "n_blocks", "n_kept_blocks"]
+    got_ext = sorted(map(str, fused.select(*ext_cols).collect()))
+    want_ext = sorted(map(str, run_extraction(df, num_partitions=8).collect()))
+    assert got_ext == want_ext
+
+    dom = run_dom_extraction(df, num_partitions=8)
+    got_dom = sorted(
+        map(
+            str,
+            fused.select(
+                "conv_id",
+                "turn_idx",
+                F.col("dom_main_text").alias("main_text"),
+                F.col("dom_spans").alias("spans"),
+                "err_count",
+                "parse_status",
+                F.col("dom_n_blocks").alias("n_blocks"),
+                F.col("dom_n_kept_blocks").alias("n_kept_blocks"),
+            ).collect(),
+        )
+    )
+    want_dom = sorted(map(str, dom.collect()))
+    assert got_dom == want_dom
+
+    got_links = sorted(
+        map(
+            tuple,
+            fused.select(
+                "conv_id", "turn_idx", F.explode("links").alias("lk")
+            ).select("conv_id", "turn_idx", "lk.*").collect(),
+        )
+    )
+    want_links = sorted(
+        map(tuple, run_link_extraction(df, num_partitions=8).collect())
+    )
+    assert got_links == want_links
