@@ -72,6 +72,13 @@ def main() -> None:
     ap.add_argument("--gram-width", type=int, default=8)
     ap.add_argument("--eval-modulus", type=int, default=25)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument(
+        "--with-dom",
+        action="store_true",
+        help="run the three-way fused extractor (token policy + DOM "
+        "policy + links from ONE tokenize); dom_* columns land in the "
+        "fused checkpoint for downstream quality models",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -117,7 +124,16 @@ def main() -> None:
     t0 = time.time()
     transcripts = spark.read.parquet(args.input)
     n_turns = transcripts.count()
-    extracted = run_extraction_with_links(transcripts)
+    if args.with_dom:
+        # the three-way fusion: the SAME tokenize also runs the
+        # DOM-heuristic policy; dom_* columns ride the fused checkpoint
+        # for downstream quality models (cost ≈ the DOM pass alone
+        # instead of a second full UDF stage — BENCH.md round 4)
+        from html_parser_spark.operators.pipeline import run_extraction_full
+
+        extracted = run_extraction_full(transcripts)
+    else:
+        extracted = run_extraction_with_links(transcripts)
     extracted.write.mode("overwrite").parquet(
         os.path.join(args.work, "fused")
     )
