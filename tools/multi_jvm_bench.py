@@ -111,11 +111,17 @@ def main() -> None:
                 text=True,
             )
         )
-    # release the barrier once every JVM has warmed up
+    # release the barrier once every JVM has warmed up; a worker that
+    # died before signaling ready must fail the run, not hang it
     while sum(
         os.path.exists(os.path.join(barrier, f"ready{i}"))
         for i in range(args.jvms)
     ) < args.jvms:
+        for i, p in enumerate(procs):
+            if p.poll() is not None and not os.path.exists(
+                os.path.join(barrier, f"ready{i}")
+            ):
+                raise RuntimeError(f"worker {i} exited {p.returncode} before warmup")
         time.sleep(0.5)
     open(os.path.join(barrier, "go"), "w").close()
     results = []
