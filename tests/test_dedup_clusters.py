@@ -204,6 +204,19 @@ def test_incremental_against_broadcasts_batch(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_incremental_against_empty_batch(spark):
+    """An ingest where nothing extracted must produce an empty decision
+    frame, not an error (the job writes it and appends nothing)."""
+    _, keys, corpus = _against_fixture(spark)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert (
+        dedup.incremental_dedup_against(
+            empty, keys, corpus, n_hashes=8, n_bands=4
+        ).count()
+        == 0
+    )
+
+
 def test_incremental_dedup_broadcasts_batch_side(spark):
     """The batch→corpus candidate join must broadcast the batch keys —
     the corpus band-key table never shuffles for it."""
