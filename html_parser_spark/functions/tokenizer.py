@@ -881,7 +881,9 @@ def tokenize(text: str, initial_state: int = DATA):
                     hit = _TAG_MEMO.get(src)
                     if hit is not None:
                         end_slash, name, pairs, sc_slash = hit
-                        attrs = [[a, b] for a, b in pairs]
+                        # fresh attr lists per hit (CLAUDE.md invariant);
+                        # the attr-less common case skips the listcomp call
+                        attrs = [[a, b] for a, b in pairs] if pairs else []
                     else:
                         end_slash, name, g3, sc_slash = mdt.group(2, 3, 4, 5)
                         name = name.lower()  # TAG_NAME A-Z fold (+0x20)
