@@ -58,7 +58,10 @@ class _Block:
         self.drop = drop
 
     def text(self) -> str:
-        return _WS_RUN.sub(" ", "".join(self.parts)).strip()
+        # split()/join ≡ _WS_RUN.sub(" ", …).strip(): re \s and
+        # str.isspace match the same codepoint set (checked exhaustively
+        # over all 0x110000 codepoints, BENCH.md round-4 continuation)
+        return " ".join("".join(self.parts).split())
 
 
 def _is_boiler_el(el: Element) -> bool:

@@ -111,7 +111,9 @@ class Text(str):
 
     def __new__(cls, s: str, spans=()):
         t = super().__new__(cls, s)
-        t.spans = list(spans)
+        # both construction sites (_insert_text) pass a freshly-built
+        # list the node owns outright — copy only non-list inputs
+        t.spans = spans if type(spans) is list else list(spans)
         return t
 
 
