@@ -308,6 +308,10 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
     if channels < 0 or pcm is None:
         raise ValueError("WAV missing fmt/data chunk")
     frame_bytes = channels * (bits // 8)
+    if frame_bytes <= 0:
+        # corrupt fmt chunk (bits<8 or channels=0) must route to the
+        # status column, not ZeroDivisionError the task
+        raise ValueError(f"corrupt WAV fmt (channels={channels}, bits={bits})")
     return channels, sample_rate, len(pcm) // frame_bytes, pcm
 
 
@@ -394,7 +398,12 @@ def resize_nearest(
     deterministic, dependency-free thumbnail transform (the resize leg
     of decode → transform → fingerprint).  Source pixel for output
     (x, y) is (x * width // out_w, y * height // out_h)."""
-    assert len(raw) == width * height * channels
+    if len(raw) != width * height * channels:
+        # ValueError (not assert): callers route it to the status
+        # column, and asserts vanish under python -O
+        raise ValueError(
+            f"pixel buffer {len(raw)} != {width}x{height}x{channels}"
+        )
     out = bytearray(out_w * out_h * channels)
     for y in range(out_h):
         sy = y * height // out_h

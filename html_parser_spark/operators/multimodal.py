@@ -394,6 +394,14 @@ def media_features(
                         w, h, ch, raw = decode_png(b)
                     elif fmt == "gif":
                         w, h, nf, idx = decode_gif(b)
+                        if len(idx) < w * h:
+                            # spec-legal but outside the supported
+                            # profile: first frame smaller than the
+                            # logical screen — route to status, don't
+                            # let resize_nearest's length check crash
+                            raise ValueError(
+                                "GIF first frame smaller than screen"
+                            )
                         ch, raw = 1, idx[: w * h]  # first frame
                     elif fmt == "bmp":
                         w, h, ch, raw = decode_bmp(b)

@@ -282,6 +282,54 @@ def test_decoders_never_raise_unexpected_on_fuzz_bytes():
                 pass
 
 
+def test_crafted_corrupt_blobs_raise_routed_errors_only():
+    """Adversarial shapes the random fuzz is unlikely to hit: a WAV with
+    a parseable fmt chunk declaring 0 channels / 0 bits (ZeroDivision
+    risk), and a spec-legal GIF whose first frame is smaller than the
+    logical screen (resize length-check risk).  Both must raise a
+    ROUTED class, so the operator emits status='decode_error' instead
+    of crashing the task."""
+    import struct
+
+    from html_parser_spark.functions.mediacodecs import (
+        decode_wav,
+        encode_gif,
+        decode_gif,
+        resize_nearest,
+    )
+    from html_parser_spark.operators.multimodal import _DECODE_ERRORS
+
+    def wav(channels, bits):
+        fmt = struct.pack("<HHIIHH", 1, channels, 8000, 8000, 1, bits)
+        data = b"\x00" * 8
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    for channels, bits in [(0, 16), (1, 0), (0, 0), (1, 7)]:
+        try:
+            decode_wav(wav(channels, bits))
+            raise AssertionError(f"corrupt fmt ({channels},{bits}) decoded")
+        except _DECODE_ERRORS:
+            pass
+
+    # GIF: take a valid 2x2 encode and enlarge the logical screen to
+    # 4x4 without touching the image descriptor — first frame (4 px)
+    # no longer covers the screen (16 px)
+    g = bytearray(encode_gif([bytes(4)], 2, 2))
+    struct.pack_into("<HH", g, 6, 4, 4)
+    w, h, nf, idx = decode_gif(bytes(g))
+    assert (w, h) == (4, 4) and len(idx) < w * h
+    try:
+        resize_nearest(idx[: w * h], w, h, 1, 8, 8)
+        raise AssertionError("undersized pixel buffer accepted")
+    except _DECODE_ERRORS:
+        pass
+
+
 def test_resize_and_features_semantics():
     from html_parser_spark.functions.mediacodecs import (
         audio_energy,
