@@ -31,6 +31,7 @@ from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import StringType
 
 from ..functions.textnorm import ascii_words
+from ..plans.session import free_local_checkpoint
 
 # Default MinHash geometry (VERDICT r02 item 4): 128 hashes / 16 bands
 # (r=8 rows per band) — the classic corpus-dedup operating point: band
@@ -677,8 +678,11 @@ def connected_components(
         )
         # free the previous round's checkpointed blocks eagerly — relying
         # on ContextCleaner lets storage accumulate across high-iteration
-        # runs (ADVICE r03)
-        labels.unpersist()
+        # runs (ADVICE r03).  NB: plain .unpersist() is a NO-OP on a
+        # localCheckpoint()ed frame (nothing is registered in the
+        # CacheManager) — the blocks are only reachable through the
+        # LogicalRDD plan node, which is what the helper releases
+        free_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             break
@@ -687,6 +691,9 @@ def connected_components(
             f"label propagation did not converge in {max_iter} rounds — "
             "component diameter exceeds the bound; use pointer doubling"
         )
+    # the surviving labels frame is checkpointed, so the adjacency
+    # table's blocks are dead weight from here on
+    free_local_checkpoint(adj)
     return labels.select(
         "doc_id",
         "cluster_id",

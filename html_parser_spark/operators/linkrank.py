@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..plans.session import free_local_checkpoint
 from .linkops import run_link_extraction
 
 
@@ -169,20 +170,20 @@ def pagerank(
 
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     teleport = (1.0 - damping) / n_nodes
+    prev_ckpt = None
     for i in range(iterations):
+        # ONE ranks⋈out_deg join per round feeds both the dangling mass
+        # and the per-edge shares (the old code planned it twice)
         with_deg = ranks.join(out_deg, ranks["node"] == out_deg["src"], "left")
-        # dangling mass: rank held by nodes with no out-edges (one
-        # scalar per round — a post-aggregation driver value, not a
-        # hot-path collect)
-        dangling = (
-            with_deg.filter(F.col("deg").isNull())
-            .agg(F.sum("rank"))
-            .collect()[0][0]
-            or 0.0
+        # dangling mass: rank held by nodes with no out-edges — a lazy
+        # 1-row aggregate broadcast into the update instead of a per-round
+        # .collect(): each round adds plan depth but NO action, so the
+        # uncheckpointed lineage is evaluated once per checkpoint window
+        # rather than re-run by every round's driver scalar
+        dangling = with_deg.filter(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling")
         )
-        shares = ranks.join(
-            out_deg, ranks["node"] == out_deg["src"]
-        ).select(
+        shares = with_deg.filter(F.col("deg").isNotNull()).select(
             F.col("node").alias("u"),
             (F.col("rank") / F.col("deg")).alias("share"),
         )
@@ -192,6 +193,7 @@ def pagerank(
         summed = contribs.groupBy("node").agg(F.sum("share").alias("s"))
         ranks = (
             nodes.join(summed, "node", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (
@@ -199,14 +201,26 @@ def pagerank(
                     + F.lit(damping)
                     * (
                         F.coalesce(F.col("s"), F.lit(0.0))
-                        + F.lit(dangling / n_nodes)
+                        + F.col("dangling") / F.lit(float(n_nodes))
                     )
                 ).alias("rank"),
             )
         )
         if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
             new_ranks = ranks.localCheckpoint()
+            # the new checkpoint is materialized; the superseded one's
+            # blocks are dead weight (unpersist() alone is a no-op on
+            # local checkpoints — see free_local_checkpoint)
+            if prev_ckpt is not None:
+                free_local_checkpoint(prev_ckpt)
+            prev_ckpt = new_ranks
             ranks = new_ranks
+    if iterations > 0:
+        # the returned frame is checkpointed (the last round always
+        # checkpoints), so the helper tables' blocks are releasable;
+        # with iterations=0 ranks still reads THROUGH nodes — keep them
+        free_local_checkpoint(nodes)
+        free_local_checkpoint(out_deg)
     return ranks
 
 

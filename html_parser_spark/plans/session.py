@@ -77,3 +77,31 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+def free_local_checkpoint(df) -> bool:
+    """Best-effort release of a ``localCheckpoint()``'ed DataFrame's
+    storage blocks.
+
+    ``DataFrame.unpersist()`` only clears CacheManager entries
+    (``persist()``/``cache()``); a local checkpoint persists the
+    underlying RDD directly and registers nothing there, so iterative
+    operators that checkpoint per round (connected components, PageRank)
+    would otherwise accumulate one label/rank table per round until the
+    ContextCleaner gets around to it (verified empirically:
+    ``getRDDStorageInfo`` keeps the blocks after ``unpersist()``).  The
+    checkpointed RDD is reachable through the plan — a checkpoint
+    returns a bare ``LogicalRDD`` node whose ``rdd`` field is the stored
+    RDD — and unpersisting THAT frees the blocks immediately (non-
+    blocking).  Returns True when the blocks were released; False (never
+    raises) when the plan isn't the expected shape, in which case the
+    ContextCleaner fallback still applies.
+    """
+    try:
+        node = df._jdf.queryExecution().analyzed()
+        if node.getClass().getSimpleName() != "LogicalRDD":
+            return False
+        node.rdd().unpersist(False)
+        return True
+    except Exception:
+        return False

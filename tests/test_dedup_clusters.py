@@ -227,3 +227,51 @@ def test_incremental_dedup_broadcasts_batch_side(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_iterative_checkpoints_release_storage(spark):
+    """Each round's superseded label table (and the adjacency table)
+    must actually leave executor storage.  Plain .unpersist() is a
+    NO-OP on localCheckpoint()ed frames — nothing registers in the
+    CacheManager — so this pins the LogicalRDD-level release
+    (plans.session.free_local_checkpoint): after a multi-round run,
+    at most the RETURNED frame's own blocks remain."""
+    jsc = spark.sparkContext._jsc.sc()
+
+    def n_stored():
+        return len(jsc.getRDDStorageInfo())
+
+    spark.catalog.clearCache()
+    base = n_stored()
+    # a diameter-4 chain forces ≥3 propagation rounds → ≥3 superseded
+    # checkpoints + adj would leak without the release
+    docs = spark.createDataFrame([(d,) for d in range(1, 9)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "doc_a long, doc_b long"
+    )
+    out = dedup.connected_components(docs, edges)
+    out.collect()
+    leaked = n_stored() - base
+    assert leaked <= 1, f"{leaked} RDDs left in storage (expected ≤1: the returned frame)"
+
+
+def test_pagerank_releases_superseded_checkpoints(spark):
+    from html_parser_spark.operators.linkrank import pagerank
+
+    jsc = spark.sparkContext._jsc.sc()
+
+    def n_stored():
+        return len(jsc.getRDDStorageInfo())
+
+    spark.catalog.clearCache()
+    base = n_stored()
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")], "src string, dst string"
+    )
+    # 9 rounds at checkpoint_every=3 → 3 checkpoints; only the final
+    # one (the returned frame) may remain, nodes/out_deg must be freed
+    ranks = pagerank(edges, iterations=9)
+    total = sum(r.rank for r in ranks.collect())
+    assert abs(total - 1.0) < 1e-9
+    leaked = n_stored() - base
+    assert leaked <= 1, f"{leaked} RDDs left in storage (expected ≤1: the returned frame)"
