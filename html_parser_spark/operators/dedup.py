@@ -50,6 +50,31 @@ GATE_N_HASHES = 8
 GATE_N_BANDS = 4
 
 
+# one resident cached frame per operator: builders that persist() an
+# intermediate (sketches, band keys, window hits) register it here and
+# the NEXT call to the same operator unpersists the previous frame —
+# otherwise a long-lived session (gate driver, notebook) accumulates
+# one cached table per invocation (the submitted jobs paper over it
+# with clearCache(); the library shouldn't rely on that).  The frame a
+# call returns still references its own persist, so the swap happens
+# strictly one call behind — exactly when the prior plan has been
+# consumed.  A holder re-executing a STALE frame after a newer call
+# just recomputes (slower, never wrong).
+_RESIDENT: dict = {}
+
+
+def _swap_persist(key: str, df: DataFrame) -> DataFrame:
+    prev = _RESIDENT.get(key)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
+    p = df.persist()
+    _RESIDENT[key] = p
+    return p
+
+
 # seeded Carter-Wegman coefficients for the "fast" MinHash family
 # (deterministic across runs/executors; ODD multipliers so a_k·x+b_k
 # mod 2^32 is a bijection of the 32-bit base-hash domain; 31-bit range
@@ -817,9 +842,9 @@ def simhash_near_dups(
     from the surviving sketch pairs plus the identical-sketch groups
     (hamming 0).  Output is invariant in ``n_blocks`` (the filter is
     exact); the DuckDB twin keeps the classic quarter formulation."""
-    sk = simhash_sketches(spark, sf_dir).select(
+    sk = _swap_persist("near_dups_sk", simhash_sketches(spark, sf_dir).select(
         "doc_id", _sh64().alias("sh64")
-    ).persist()
+    ))
     uniq = sk.select("sh64").distinct()
     pairs = _sketch_pairs(uniq, max_hamming, n_blocks)
     # cross-sketch doc pairs: expand each surviving sketch pair through
@@ -874,9 +899,9 @@ def simhash_component_edges(
     — measured on a 92,820-doc extracted corpus: 6.10M full pairs →
     962k star+rep edges, and the bucket join runs over 87k distinct
     sketches instead of 92k docs."""
-    sk = simhash_sketches(spark, sf_dir).select(
+    sk = _swap_persist("component_edges_sk", simhash_sketches(spark, sf_dir).select(
         "doc_id", _sh64().alias("sh64")
-    ).persist()
+    ))
     groups = sk.groupBy("sh64").agg(F.min("doc_id").alias("rep"))
     stars = (
         sk.join(groups, "sh64")
@@ -1202,7 +1227,8 @@ def incremental_dedup_against(
         n_hashes,
         n_bands,
         hash_family,
-    ).persist()
+    )
+    batch_keys = _swap_persist("incremental_batch_keys", batch_keys)
     vs_corpus = (
         F.broadcast(batch_keys.alias("b"))
         .join(
@@ -1230,7 +1256,9 @@ def incremental_dedup_against(
             F.lit("batch").alias("kind"),
         )
     )
-    cand = vs_corpus.unionByName(vs_batch).distinct().persist()
+    cand = _swap_persist(
+        "incremental_cand", vs_corpus.unionByName(vs_batch).distinct()
+    )
 
     sh_b = batch_docs.select("doc_id", _shingles().alias("sh"))
     matched_corpus = corpus_docs.join(
@@ -1506,6 +1534,15 @@ def shared_substring_spans(
         )
     )
     sel = F.filter(wins, lambda w: w["h"].startswith(sample_prefix))
+    # the hits subtree (normalize + per-window md5 transform) feeds BOTH
+    # the shared-set aggregation and the semi-join probe, so the plan
+    # evaluates it twice.  That is the MEASURED right call: persisting
+    # hits instead was 1.5× slower at sf0.01 and 4.5× slower at sf0.1
+    # (same-session ABAB, BENCH.md) — the pass is whole-stage-codegen
+    # cheap while the cache materializes corpus-scale hash strings; and
+    # exchange reuse can't merge the two legs because column pruning
+    # keeps only (doc_id, h) under the aggregation, making the exchange
+    # subtrees structurally different (plan-checked).
     hits = normed.select(
         "doc_id", F.explode(sel).alias("w")
     ).select("doc_id", F.col("w.i").alias("start"), F.col("w.h").alias("h"))
