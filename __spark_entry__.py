@@ -12,7 +12,6 @@ DuckDB oracle where expressible.
 from __future__ import annotations
 
 import os
-import re
 from collections.abc import Callable
 
 from pyspark import StorageLevel
@@ -46,9 +45,8 @@ from html_parser_spark.operators.pipeline import (
 )
 
 
-def _sf_of(sf_dir: str) -> float:
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    return float(m.group(1).rstrip(".")) if m else 0.01
+# the one sf-from-path implementation lives with the fixture generators
+from html_parser_spark.fixtures import sf_of as _sf_of
 
 
 def _transcripts(spark: SparkSession, sf: float) -> DataFrame:
@@ -278,13 +276,18 @@ def _stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink contents projected exactly like ``extract_turns`` — the oracle
     IS the committed reference-binary golden, so stream ≡ batch ≡
     reference is driver-snapshotted, not just pytest-pinned."""
+    import shutil
     import tempfile
 
     from html_parser_spark.streaming.stream import run_stream_backfill
 
     sf = _sf_of(sf_dir)
     in_dir = os.path.dirname(ensure_transcripts(sf))
-    out = tempfile.mkdtemp(prefix=f"stream_gate_sf{sf}_")
+    # deterministic per-sf sink, wiped before each run: repeated gate/
+    # snapshot invocations reuse ONE directory instead of accumulating
+    # a corpus copy + checkpoint per call under /tmp (self-review r4)
+    out = os.path.join(tempfile.gettempdir(), f"stream_gate_sf{sf}")
+    shutil.rmtree(out, ignore_errors=True)
     paths = run_stream_backfill(spark, in_dir, out, with_metrics=False)
     ext = spark.read.parquet(paths["extracted"])
     return ext.select(

@@ -28,6 +28,7 @@ from __future__ import annotations
 import math
 import os
 import random
+import re
 from datetime import datetime, timedelta, timezone
 
 SEED = 42
@@ -297,6 +298,17 @@ def write_parquet(sf: float, out_dir: str) -> str:
     table = pa.Table.from_pydict(cols, schema=schema)
     pq.write_table(table, path, row_group_size=8192)
     return path
+
+
+def sf_of(sf_dir: str) -> float:
+    """Scale factor encoded in a testdata dir name (``…/sf0.01`` →
+    0.01; driver convention, TESTDATA.md).  Falls back to 0.01 — the
+    driver's gate scale — when the path carries no marker.  The ONE
+    implementation: fixture-backed operators (multimodal, linkrank) and
+    the entry module all route through here so a naming change cannot
+    silently land a wrong-scale fixture in one of them."""
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1).rstrip(".")) if m else 0.01
 
 
 def ensure_transcripts(sf: float, cache_root: str | None = None) -> str:

@@ -15,8 +15,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.functions import pandas_udf
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     ArrayType,
     IntegerType,
@@ -27,6 +26,10 @@ from pyspark.sql.types import (
 
 from ..functions.links import extract_links
 
+# per-link struct carried by the FUSED extraction paths
+# (pipeline.run_extraction_with_links / run_extraction_full), which emit
+# text + links from one tokenize pass; the standalone harvest below uses
+# flat columns instead (2.2× — module docstring)
 LINK = StructType(
     [
         StructField("link_idx", IntegerType()),
@@ -36,28 +39,6 @@ LINK = StructType(
         StructField("src_end", IntegerType()),
     ]
 )
-
-
-@pandas_udf(ArrayType(LINK))
-def links_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-    for texts in batches:
-        yield pd.Series(
-            [
-                []
-                if t is None
-                else [
-                    (
-                        r["link_idx"],
-                        r["href"],
-                        r["anchor_text"],
-                        r["src_start"],
-                        r["src_end"],
-                    )
-                    for r in extract_links(t)
-                ]
-                for t in texts
-            ]
-        )
 
 
 def run_link_extraction(

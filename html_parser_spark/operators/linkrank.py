@@ -38,14 +38,10 @@ from .linkops import run_link_extraction
 
 
 def _links(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import re
+    from ..fixtures import ensure_transcripts, sf_of
 
-    from ..fixtures import ensure_transcripts
-
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1).rstrip(".")) if m else 0.01
     return run_link_extraction(
-        spark.read.parquet(ensure_transcripts(sf))
+        spark.read.parquet(ensure_transcripts(sf_of(sf_dir)))
     )
 
 

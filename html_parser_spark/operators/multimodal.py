@@ -18,18 +18,12 @@ rows), and metadata-only queries prune the binary column entirely.
 from __future__ import annotations
 
 import hashlib
-import re
 import struct
 import zlib
 from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
-
-META_SCHEMA = (
-    "doc_id bigint, byte_len int, payload_md5 string, "
-    "width int, height int, channels int, pixel_md5 string"
-)
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -108,81 +102,6 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     return width, height, channels, bytes(out)
 
 
-def _sf_of(sf_dir: str) -> float:
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    return float(m.group(1).rstrip(".")) if m else 0.01
-
-
-def png_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The deterministic PNG blob table for the gate's scale factor
-    (doc_id, payload:binary, exp_* ground-truth columns)."""
-    from ..fixtures import ensure_png_blobs
-
-    return spark.read.parquet(ensure_png_blobs(_sf_of(sf_dir)))
-
-
-def _meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        rows: dict[str, list] = {
-            k: []
-            for k in (
-                "doc_id", "byte_len", "payload_md5",
-                "width", "height", "channels", "pixel_md5",
-            )
-        }
-        for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
-            b = bytes(b)
-            w, h, ch, raw = decode_png(b)
-            rows["doc_id"].append(doc_id)
-            rows["byte_len"].append(len(b))
-            # hash the lowercase-hex encoding: the one byte-string
-            # fingerprint DuckDB can also compute (its md5/sha256 only
-            # accept VARCHAR — md5(lower(hex(payload))) on the oracle side)
-            rows["payload_md5"].append(
-                hashlib.md5(b.hex().encode()).hexdigest()
-            )
-            rows["width"].append(w)
-            rows["height"].append(h)
-            rows["channels"].append(ch)
-            rows["pixel_md5"].append(hashlib.md5(raw).hexdigest())
-        yield pd.DataFrame(rows)
-
-
-def payload_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas over the binary column → typed metadata rows with the
-    REAL decoded dimensions + raw-pixel fingerprint (value-oracled
-    against the generator's stored ground truth)."""
-    return (
-        png_blobs(spark, sf_dir)
-        .select("doc_id", "payload")
-        .mapInPandas(_meta_batches, schema=META_SCHEMA)
-    )
-
-
-def payload_metadata_sql(sf_dir: str | None = None) -> str:
-    """DuckDB twin: byte length + payload hash computed independently by
-    DuckDB over the same blobs; decoded width/height/channels/pixel-hash
-    come from the generator's ground-truth columns — so a decode bug on
-    the Spark side (wrong unfilter, wrong stride, swapped dims) breaks
-    the hash match."""
-    import os
-
-    from ..fixtures import ensure_png_blobs
-
-    sf_dir = sf_dir or os.environ.get(
-        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01"
-    )
-    path = ensure_png_blobs(_sf_of(sf_dir))
-    return f"""
-    SELECT doc_id,
-           CAST(octet_length(payload) AS INT) AS byte_len,
-           md5(lower(hex(payload))) AS payload_md5,
-           exp_width AS width,
-           exp_height AS height,
-           exp_channels AS channels,
-           exp_pixel_md5 AS pixel_md5
-    FROM read_parquet('{path}')
-    """
 
 
 def decode_image(payload: bytes):  # pragma: no cover - codec-less sandbox
@@ -219,9 +138,9 @@ _DECODE_ERRORS = (ValueError, struct.error, IndexError, EOFError, zlib.error)
 def media_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deterministic mixed-format blob table (PNG/GIF/BMP/WAV/JPEG)
     for the gate's scale factor."""
-    from ..fixtures import ensure_media_blobs
+    from ..fixtures import ensure_media_blobs, sf_of
 
-    return spark.read.parquet(ensure_media_blobs(_sf_of(sf_dir)))
+    return spark.read.parquet(ensure_media_blobs(sf_of(sf_dir)))
 
 
 def _media_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -301,12 +220,12 @@ def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 def media_metadata_sql(sf_dir: str | None = None) -> str:
     import os
 
-    from ..fixtures import ensure_media_blobs
+    from ..fixtures import ensure_media_blobs, sf_of
 
     sf_dir = sf_dir or os.environ.get(
         "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01"
     )
-    path = ensure_media_blobs(_sf_of(sf_dir))
+    path = ensure_media_blobs(sf_of(sf_dir))
     return f"""
     SELECT doc_id,
            CASE
