@@ -112,25 +112,44 @@ def main() -> None:
             )
         )
     # release the barrier once every JVM has warmed up; a worker that
-    # died before signaling ready must fail the run, not hang it
-    while sum(
-        os.path.exists(os.path.join(barrier, f"ready{i}"))
-        for i in range(args.jvms)
-    ) < args.jvms:
-        for i, p in enumerate(procs):
-            if p.poll() is not None and not os.path.exists(
-                os.path.join(barrier, f"ready{i}")
-            ):
-                raise RuntimeError(f"worker {i} exited {p.returncode} before warmup")
-        time.sleep(0.5)
-    open(os.path.join(barrier, "go"), "w").close()
+    # died before signaling ready must fail the run, not hang it — and
+    # a failed run must not strand the surviving JVMs polling a "go"
+    # file that will never appear (they'd hold their pinned cores +
+    # heap until killed by hand)
     results = []
-    for p in procs:
-        out, _ = p.communicate()
-        for line in out.splitlines():
-            line = line.strip()
-            if line.startswith("{"):
-                results.append(json.loads(line))
+    try:
+        while sum(
+            os.path.exists(os.path.join(barrier, f"ready{i}"))
+            for i in range(args.jvms)
+        ) < args.jvms:
+            for i, p in enumerate(procs):
+                if p.poll() is not None and not os.path.exists(
+                    os.path.join(barrier, f"ready{i}")
+                ):
+                    raise RuntimeError(
+                        f"worker {i} exited {p.returncode} before warmup"
+                    )
+            time.sleep(0.5)
+        open(os.path.join(barrier, "go"), "w").close()
+        for i, p in enumerate(procs):
+            out, _ = p.communicate()
+            got = [
+                json.loads(line)
+                for line in (ln.strip() for ln in out.splitlines())
+                if line.startswith("{")
+            ]
+            if not got:
+                # a worker that died mid-measurement must fail the run:
+                # summing the survivors would report an undercounted
+                # aggregate as a valid scaling number
+                raise RuntimeError(
+                    f"worker {i} produced no result (exit {p.returncode})"
+                )
+            results.extend(got)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.terminate()
     agg = round(sum(r["turns_per_sec"] for r in results), 1)
     spans = [r["span"] for r in results]
     overlap = round(
