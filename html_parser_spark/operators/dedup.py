@@ -31,7 +31,7 @@ from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import StringType
 
 from ..functions.textnorm import ascii_words
-from ..plans.session import free_local_checkpoint
+from ..plans.session import free_local_checkpoint, swap_persist as _swap_persist
 
 # Default MinHash geometry (VERDICT r02 item 4): 128 hashes / 16 bands
 # (r=8 rows per band) — the classic corpus-dedup operating point: band
@@ -48,31 +48,6 @@ N_BANDS = 16
 # EXPLICITLY by the driver-contract wrappers so gate values are stable.
 GATE_N_HASHES = 8
 GATE_N_BANDS = 4
-
-
-# one resident cached frame per operator: builders that persist() an
-# intermediate (sketches, band keys, window hits) register it here and
-# the NEXT call to the same operator unpersists the previous frame —
-# otherwise a long-lived session (gate driver, notebook) accumulates
-# one cached table per invocation (the submitted jobs paper over it
-# with clearCache(); the library shouldn't rely on that).  The frame a
-# call returns still references its own persist, so the swap happens
-# strictly one call behind — exactly when the prior plan has been
-# consumed.  A holder re-executing a STALE frame after a newer call
-# just recomputes (slower, never wrong).
-_RESIDENT: dict = {}
-
-
-def _swap_persist(key: str, df: DataFrame) -> DataFrame:
-    prev = _RESIDENT.get(key)
-    if prev is not None:
-        try:
-            prev.unpersist()
-        except Exception:
-            pass
-    p = df.persist()
-    _RESIDENT[key] = p
-    return p
 
 
 # seeded Carter-Wegman coefficients for the "fast" MinHash family

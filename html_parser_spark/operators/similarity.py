@@ -26,6 +26,8 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..plans.session import swap_persist
+
 N_QUERIES = 5
 TOP_K = 10
 
@@ -348,20 +350,34 @@ def embedding_near_dups(
     """
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     bands = band_signature_udf(n_bands, band_bits, seed, dim)
-    sig = emb.select("vec_id", bands(F.col("embedding")).alias("bands"))
+    # persist the signature frame: without it the physical plan runs
+    # the Python band-signature UDF FOUR times — once per self-join
+    # side, and ONCE MORE per side under the non-null/size constraint
+    # filter Catalyst infers from posexplode and pushes below the
+    # Generate (ExtractPythonUDFs plans the UDF separately above and
+    # below that filter; plan-read r4).  The cached frame is tiny
+    # (vec_id + n_bands ints per vector) and swap-registered so a
+    # session holds one resident copy.
+    sig = swap_persist(
+        "embedding_near_dups_sig",
+        emb.select("vec_id", bands(F.col("embedding")).alias("bands")),
+    )
     cand = sig.select(
         "vec_id", F.posexplode("bands").alias("band_idx", "band_val")
     )
-    ca = cand.select(
-        F.col("vec_id").alias("vec_a"), "band_idx", "band_val"
-    )
-    cb = cand.select(
-        F.col("vec_id").alias("vec_b"), "band_idx", "band_val"
-    )
+    # DataFrame aliases, not column renames: a rename is pushed BELOW
+    # the repartition and differentiates the subtrees, defeating the
+    # exchange reuse this shape exists for (SubqueryAlias vanishes in
+    # the physical plan, leaving both sides byte-identical)
+    ca = cand.alias("ca")
+    cb = cand.alias("cb")
     pairs = (
         ca.join(cb, ["band_idx", "band_val"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
+        .filter(F.col("ca.vec_id") < F.col("cb.vec_id"))
+        .select(
+            F.col("ca.vec_id").alias("vec_a"),
+            F.col("cb.vec_id").alias("vec_b"),
+        )
         .distinct()
     )
     ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))

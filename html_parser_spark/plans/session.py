@@ -105,3 +105,24 @@ def free_local_checkpoint(df) -> bool:
         return True
     except Exception:
         return False
+
+
+# one resident cached frame per operator key: builders that persist() an
+# intermediate register it here; the NEXT call under the same key
+# unpersists the previous frame, bounding a long-lived session's cache
+# growth to one table per operator.  The swap is one call behind, so the
+# frame a call returns stays persisted until the caller's action runs; a
+# holder re-executing a STALE frame just recomputes (slower, never wrong).
+_RESIDENT: dict = {}
+
+
+def swap_persist(key: str, df):
+    prev = _RESIDENT.get(key)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
+    p = df.persist()
+    _RESIDENT[key] = p
+    return p
