@@ -366,6 +366,17 @@ class TreeBuilder:
             if fmt is None:
                 self._any_other_end_tag(subject)
                 return
+            if self.open_elements and fmt is self.open_elements[-1]:
+                # steps 6-10 collapsed for the overwhelmingly common
+                # well-nested case (fmt IS the current node, ~99.9% of
+                # calls on the fixture corpus): it is in the stack (step
+                # 6 no-op), in scope (the scope walk sees it first, step
+                # 7 true), and nothing sits above it so there is no
+                # furthest block (step 9) -> step 10's del stack[idx:]
+                # is a single pop.  Provably identical outcome.
+                self.open_elements.pop()
+                self.active_formatting.remove(fmt)
+                return
             if fmt not in self.open_elements:  # step 6
                 self.active_formatting.remove(fmt)
                 return
