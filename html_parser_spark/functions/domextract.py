@@ -111,6 +111,16 @@ def _segment(
     return cur
 
 
+def _collect_blocks(doc: Element) -> list[_Block]:
+    """Segment the DOM into raw ``_Block`` records (document order)."""
+    blocks: list[_Block] = []
+    root = _Block(False, False)
+    root = _segment(doc, False, False, False, blocks, root)
+    if root.parts:
+        blocks.append(root)
+    return blocks
+
+
 def score_blocks(doc: Element, with_stopwords: bool = True) -> list[dict]:
     """Flatten the DOM into scored text blocks (document order).
 
@@ -119,11 +129,7 @@ def score_blocks(doc: Element, with_stopwords: bool = True) -> list[dict]:
     structural scores), and the lower/split/set-membership pass is a
     measurable slice of the per-doc cost, so the hot extraction path
     opts out while block-level consumers keep the default."""
-    blocks: list[_Block] = []
-    root = _Block(False, False)
-    root = _segment(doc, False, False, False, blocks, root)
-    if root.parts:
-        blocks.append(root)
+    blocks = _collect_blocks(doc)
     out = []
     for b in blocks:
         text = b.text()
@@ -204,22 +210,34 @@ def dom_extract_from_tree(
     min_text_density: float = DEFAULT_MIN_TEXT_DENSITY,
     max_link_density: float = DEFAULT_MAX_LINK_DENSITY,
 ) -> dict:
-    blocks = score_blocks(doc, with_stopwords=False)
-    kept = [
-        b
-        for b in blocks
-        if not b["boiler"]
-        and b["link_density"] < max_link_density
-        and b["text_density"] >= min_text_density
-    ]
+    # consume raw _Block records directly — same decisions as filtering
+    # score_blocks(with_stopwords=False) output, without building a
+    # per-block dict + spans copy the hot extraction path never reads
+    blocks = _collect_blocks(doc)
+    parts: list[str] = []
     spans: list = []
-    for b in kept:
-        spans.extend(b["spans"])
+    n_blocks = 0
+    n_kept = 0
+    for b in blocks:
+        text = b.text()
+        if not text:
+            continue
+        n_blocks += 1
+        if b.boiler or b.drop:
+            continue
+        n = len(text)
+        if min(1.0, b.link_chars / n) >= max_link_density:
+            continue
+        if n / (1.0 + b.tags) < min_text_density:
+            continue
+        parts.append(text)
+        spans.extend(b.spans)
+        n_kept += 1
     return {
-        "main_text": "\n".join(b["text"] for b in kept),
+        "main_text": "\n".join(parts),
         "spans": spans,
         "err_count": err,
         "parse_status": status,
-        "n_blocks": len(blocks),
-        "n_kept_blocks": len(kept),
+        "n_blocks": n_blocks,
+        "n_kept_blocks": n_kept,
     }

@@ -122,7 +122,14 @@ class Element:
 
     def __init__(self, tag: str, attrs=()):
         self.tag = tag
-        self.attrs = list(attrs)
+        # ownership: a list argument is taken AS-IS.  Every list that
+        # reaches here is uniquely owned by its token (the tokenizer memo
+        # rebuilds fresh attr lists per hit — CLAUDE.md invariant) or
+        # freshly built by the caller, and no tree op mutates attrs
+        # except the <body> attr merge, whose element is synthesized
+        # with its own list (_ensure_body).  Eliding the copy saves one
+        # list per element on the hot path.
+        self.attrs = attrs if type(attrs) is list else list(attrs)
         self.children: list = []
         self.parent: Element | None = None
 
