@@ -201,10 +201,13 @@ class TreeBuilder:
         el = Element(tag, attrs)
         # table-structure tags are never foster-parented — the spec's
         # "in table" mode handles them structurally; fostering applies
-        # only to its "anything else" branch
-        parent, idx = (
-            self._insert_location() if foster else (self.current(), None)
-        )
+        # only to its "anything else" branch.  The no-table-context
+        # common case skips the _insert_location call outright.
+        cur = self.open_elements[-1]
+        if not foster or cur.tag not in _FOSTER_CTX:
+            parent, idx = cur, None
+        else:
+            parent, idx = self._insert_location()
         if idx is None:
             parent.append(el)
         else:
@@ -237,6 +240,8 @@ class TreeBuilder:
             siblings[pos - 1] = Text(
                 str(prev) + data, [*getattr(prev, "spans", ()), *spans]
             )
+        elif pos == len(siblings):
+            siblings.append(Text(data, spans))
         else:
             siblings.insert(pos, Text(data, spans))
 
@@ -512,19 +517,26 @@ class TreeBuilder:
         return self.document
 
     def _chars(self, data: str, span=None) -> None:
-        if self.mode == "in_head_real":
-            # inside an open head element (title/style/…): text belongs
-            # to it (the tokenizer delivers RAWTEXT-ish content as
-            # ordinary tokens — reference topology)
-            self._insert_text(data, span)
-            return
-        if self.mode != "in_body":
+        mode = self.mode
+        if mode != "in_body":
+            if mode == "in_head_real":
+                # inside an open head element (title/style/…): text
+                # belongs to it (the tokenizer delivers RAWTEXT-ish
+                # content as ordinary tokens — reference topology)
+                self._insert_text(data, span)
+                return
             # whitespace before body structure is dropped (spec: ignored
             # in initial/before_* modes); other chars force the body
             if data.strip() == "":
                 return
             self._ensure_body()
-        self._reconstruct_formatting()
+        # inlined reconstruct early-out: the common case is an empty AFE
+        # (or one whose last entry is a marker / already open)
+        afe = self.active_formatting
+        if afe:
+            last = afe[-1]
+            if last is not MARKER and last not in self.open_elements:
+                self._reconstruct_formatting()
         self._insert_text(data, span)
 
     def _start(self, tag: str, attrs, self_closing: bool) -> None:
