@@ -42,6 +42,9 @@ _STOPWORDS = frozenset(STOP_EN) | frozenset(STOP_FR) | frozenset(STOP_DE) | froz
 
 _WS_RUN = re.compile(r"\s+")
 
+# one membership probe instead of two on the per-element segmentation path
+_BLOCK_OR_DROP = BLOCK_TAGS | DROP_TAGS
+
 DEFAULT_MIN_TEXT_DENSITY = 8.0  # chars per (1+tag); prose p ≈ 40-200
 DEFAULT_MAX_LINK_DENSITY = 0.5
 
@@ -90,10 +93,11 @@ def _segment(
             if in_link:
                 cur.link_chars += len(child)
             continue
+        tag = child.tag
         c_boiler = boiler or _is_boiler_el(child)
-        c_drop = drop or child.tag in DROP_TAGS
-        c_link = in_link or child.tag == "a"
-        if child.tag in BLOCK_TAGS or child.tag in DROP_TAGS:
+        c_drop = drop or tag in DROP_TAGS
+        c_link = in_link or tag == "a"
+        if tag in _BLOCK_OR_DROP:
             if cur.parts:
                 blocks.append(cur)
             # a block element nested under an <a> is still link content —
