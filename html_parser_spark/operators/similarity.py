@@ -65,14 +65,23 @@ def cosine_topk(
     must not flip ranks in the cross-engine hash).
     """
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # norms precomputed per side before the join: the identical _norm
+    # expression over the identical floats (bitwise-same sim), but the
+    # O(dim) aggregate runs once per vector instead of once per
+    # (query × vector) pair
     q = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_nrm"),
     )
-    pairs = emb.alias("e").join(
+    corpus = emb.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("e_nrm")
+    )
+    pairs = corpus.alias("e").join(
         F.broadcast(q), F.col("e.vec_id") != F.col("query_id")
     )
     sim = _dot(F.col("q_emb"), F.col("e.embedding")) / (
-        _norm(F.col("q_emb")) * _norm(F.col("e.embedding"))
+        F.col("q_nrm") * F.col("e_nrm")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_bp"), F.asc("neighbor_id")
@@ -202,18 +211,25 @@ def lsh_topk(
     """Approximate top-k: exact cosine, but only within the query's LSH
     bucket.  Same output schema as :func:`cosine_topk`."""
     sig = lsh_signatures(spark, sf_dir, n_planes=n_planes, dim=dim)
-    q = sig.filter(F.col("vec_id") < n_queries).select(
+    # per-vector norm precompute before the join (bitwise-same sim,
+    # O(dim) aggregate per vector instead of per candidate pair —
+    # same rationale as cosine_topk / embedding_near_dups)
+    sign = sig.select(
+        "vec_id", "embedding", "bucket", _norm(F.col("embedding")).alias("e_nrm")
+    )
+    q = sign.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("bucket").alias("q_bucket"),
+        F.col("e_nrm").alias("q_nrm"),
     )
-    pairs = sig.alias("e").join(
+    pairs = sign.alias("e").join(
         F.broadcast(q),
         (F.col("e.bucket") == F.col("q_bucket"))
         & (F.col("e.vec_id") != F.col("query_id")),
     )
     sim = _dot(F.col("q_emb"), F.col("e.embedding")) / (
-        _norm(F.col("q_emb")) * _norm(F.col("e.embedding"))
+        F.col("q_nrm") * F.col("e_nrm")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_bp"), F.asc("neighbor_id")
@@ -380,9 +396,22 @@ def embedding_near_dups(
         )
         .distinct()
     )
-    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    sim = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
+    # norms are precomputed per VECTOR before the join — the same
+    # _norm expression over the same floats, so sim is bitwise
+    # identical to computing it per pair, but the O(dim) aggregate
+    # runs |vectors| times instead of 2×|candidate pairs| (at scale
+    # pairs >> vectors; the DuckDB twin's dot/(na*nb) shape matches)
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        _norm(F.col("embedding")).alias("na"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        _norm(F.col("embedding")).alias("nb"),
+    )
+    sim = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         pairs.join(ea, "vec_a")
         .join(eb, "vec_b")
@@ -559,23 +588,30 @@ def ivf_topk(
         ]
     )
     cell = F.element_at(F.array_sort(dist_structs), 1)["cell"]
-    assigned = emb.select("vec_id", "embedding", cell.alias("cell"))
+    # per-vector norm precompute (bitwise-same sim; see cosine_topk)
+    assigned = emb.select(
+        "vec_id",
+        "embedding",
+        cell.alias("cell"),
+        _norm(F.col("embedding")).alias("e_nrm"),
+    )
     probes = (
         emb.filter(F.col("vec_id") < n_queries)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
+            _norm(F.col("embedding")).alias("q_nrm"),
             F.explode(
                 F.slice(F.array_sort(dist_structs), 1, nprobe)
             ).alias("p"),
         )
-        .select("query_id", "q_emb", F.col("p.cell").alias("cell"))
+        .select("query_id", "q_emb", "q_nrm", F.col("p.cell").alias("cell"))
     )
     pairs = assigned.join(F.broadcast(probes), "cell").filter(
         F.col("vec_id") != F.col("query_id")
     )
     sim = _dot(F.col("q_emb"), F.col("embedding")) / (
-        _norm(F.col("q_emb")) * _norm(F.col("embedding"))
+        F.col("q_nrm") * F.col("e_nrm")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_bp"), F.asc("neighbor_id")
