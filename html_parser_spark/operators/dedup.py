@@ -343,9 +343,18 @@ def ngram_jaccard(
         .select(
             "doc_a",
             "doc_b",
+            # shingle arrays are distinct (_shingles ends in
+            # array_distinct), so |A∪B| = |A|+|B|−|A∩B| exactly — the
+            # same integers as array_union, without materializing the
+            # union array per pair
             F.floor(
                 F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                / F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1))
+                / F.greatest(
+                    F.size("sh_a")
+                    + F.size("sh_b")
+                    - F.size(F.array_intersect("sh_a", "sh_b")),
+                    F.lit(1),
+                )
                 * 10000
             ).cast("long").alias("jaccard_bp"),
         )
