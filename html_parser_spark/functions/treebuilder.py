@@ -497,6 +497,26 @@ class TreeBuilder:
 
     # ------------------------------------------------------------- drive
 
+    # _start dispatch codes: every known tag maps to (preamble flags,
+    # final branch), precomputed once by simulating the historical
+    # if-chain in its exact order — one dict lookup replaces ~15 set
+    # membership probes per start tag on the hot path.  _B_OTHER is 0 so
+    # dict.get's default tuple covers unknown tags.
+    _B_OTHER = 0  # "any other start tag": reconstruct + insert
+    _B_HTML, _B_HEAD, _B_BODY = 1, 2, 3
+    _B_FMT = 4  # formatting element: reconstruct + insert + push AFE
+    _B_TDTH, _B_TR, _B_TSECT = 5, 6, 7
+    _B_AMO = 8  # applet/marquee/object: insert + AFE marker
+    _B_VOID = 9  # void (or self-closing fall-through): insert, no push
+    _B_TABLE = 10
+    _B_BLOCK = 11  # block group (P_CLOSERS/HEADINGS): insert, NO reconstruct
+    _F_P = 1  # close an open <p> in button scope first
+    _F_HEADING = 2  # implied </hN> when current node is a heading
+    _F_LI = 4
+    _F_DDDT = 8
+    _F_A = 16  # spec: open <a> in the AFE triggers the adoption agency
+    _F_HEADONLY = 32  # head metadata candidate in pre-body modes
+
     def process(self, tokens) -> Element:
         for tok in tokens:
             kind = tok[0]
@@ -540,79 +560,113 @@ class TreeBuilder:
         self._insert_text(data, span)
 
     def _start(self, tag: str, attrs, self_closing: bool) -> None:
-        if tag == "html":
-            if not any(el.tag == "html" for el in self.open_elements):
-                html = Element("html", attrs)
-                self.document.append(html)
-                self.open_elements.append(html)
-                self.mode = "before_head"
-            return
-        if tag == "head":
-            if self.head is None:
-                self._start_head(attrs)
-            return
-        if tag == "body":
-            if not any(el.tag == "body" for el in self.open_elements):
-                self._ensure_body()
-                # merge attrs onto the synthesized body (spec behavior)
-                body = next(el for el in self.open_elements if el.tag == "body")
-                for k, v in attrs:
-                    if body.attr(k) is None:
-                        body.attrs.append((k, v))
-            return
-        if tag in self.HEAD_ONLY and self.mode in (
-            "initial",
-            "before_head",
-            "in_head_real",
-        ):
-            # head-level metadata before any body content
-            if self.head is None:
-                self._start_head(())
-            el = Element(tag, attrs)
-            self.head.append(el)
-            if tag not in VOID and not self_closing:
-                # title/style/script contents arrive as ordinary tokens;
-                # keep the element open inside head
-                self.open_elements.append(el)
-                self.mode = "in_head_real"
-            return
+        flags, branch = _START_DISPATCH.get(tag, (0, 0))
+        if flags or branch:
+            if branch == 1:  # _B_HTML
+                if not any(el.tag == "html" for el in self.open_elements):
+                    html = Element("html", attrs)
+                    self.document.append(html)
+                    self.open_elements.append(html)
+                    self.mode = "before_head"
+                return
+            if branch == 2:  # _B_HEAD
+                if self.head is None:
+                    self._start_head(attrs)
+                return
+            if branch == 3:  # _B_BODY
+                if not any(el.tag == "body" for el in self.open_elements):
+                    self._ensure_body()
+                    # merge attrs onto the synthesized body (spec behavior)
+                    body = next(
+                        el for el in self.open_elements if el.tag == "body"
+                    )
+                    for k, v in attrs:
+                        if body.attr(k) is None:
+                            body.attrs.append((k, v))
+                return
+            if flags & 32 and self.mode in (  # _F_HEADONLY
+                "initial",
+                "before_head",
+                "in_head_real",
+            ):
+                # head-level metadata before any body content
+                if self.head is None:
+                    self._start_head(())
+                el = Element(tag, attrs)
+                self.head.append(el)
+                if tag not in VOID and not self_closing:
+                    # title/style/script contents arrive as ordinary
+                    # tokens; keep the element open inside head
+                    self.open_elements.append(el)
+                    self.mode = "in_head_real"
+                return
 
         self._ensure_body()
 
-        if tag == "p" or tag in P_CLOSERS:
-            if self._in_scope("p", _BUTTON_SCOPE_BARRIER):
+        if flags:
+            if flags & 1 and self._in_scope(  # _F_P: p or any P_CLOSER
+                "p", _BUTTON_SCOPE_BARRIER
+            ):
                 self._close_p()
-        if tag in HEADINGS and self.current().tag in HEADINGS:
-            self.open_elements.pop()  # spec: implied </hN>
-        if tag == "li" and self._in_scope("li", _LIST_SCOPE_BARRIER):
-            self._generate_implied_end_tags(exclude="li")
-            self._pop_until("li")
-        if tag in ("dd", "dt"):
-            for t in ("dd", "dt"):
-                if self._in_scope(t):
-                    self._generate_implied_end_tags(exclude=t)
-                    self._pop_until(t)
+            if flags & 2 and self.current().tag in HEADINGS:  # _F_HEADING
+                self.open_elements.pop()  # spec: implied </hN>
+            if flags & 4 and self._in_scope(  # _F_LI
+                "li", _LIST_SCOPE_BARRIER
+            ):
+                self._generate_implied_end_tags(exclude="li")
+                self._pop_until("li")
+            if flags & 8:  # _F_DDDT
+                for t in ("dd", "dt"):
+                    if self._in_scope(t):
+                        self._generate_implied_end_tags(exclude=t)
+                        self._pop_until(t)
+            if flags & 16:  # _F_A
+                # spec: an <a> in the AFE list (since last marker)
+                # triggers the adoption agency for the implied </a>
+                for entry in reversed(self.active_formatting):
+                    if entry is MARKER:
+                        break
+                    if entry.tag == "a":
+                        self._adoption_agency("a")
+                        if entry in self.active_formatting:
+                            self.active_formatting.remove(entry)
+                        if entry in self.open_elements:
+                            self.open_elements.remove(entry)
+                        break
 
-        if tag == "a":
-            # spec: an <a> in the AFE list (since last marker) triggers
-            # the adoption agency for the implied </a>
-            for entry in reversed(self.active_formatting):
-                if entry is MARKER:
-                    break
-                if entry.tag == "a":
-                    self._adoption_agency("a")
-                    if entry in self.active_formatting:
-                        self.active_formatting.remove(entry)
-                    if entry in self.open_elements:
-                        self.open_elements.remove(entry)
-                    break
-
-        if tag in FORMATTING:
+        if self_closing and branch >= 9:  # _B_VOID/_B_TABLE/_B_BLOCK
+            # historical chain order: self-closing is honored only past
+            # the FMT/cell/row/section/AMO branches
+            branch = 9
+        if branch == 0:
+            if self_closing:
+                self._reconstruct_formatting()
+                self.current().append(Element(tag, attrs))
+                return
+            # "any other start tag": reconstruct, then insert
+            self._reconstruct_formatting()
+            self._insert_element(tag, attrs)
+            return
+        if branch == 4:  # _B_FMT
             self._reconstruct_formatting()
             el = self._insert_element(tag, attrs)
             self._push_formatting(el)
             return
-        if tag in ("td", "th"):
+        if branch == 11:  # _B_BLOCK
+            # block-level group: spec inserts WITHOUT reconstructing the
+            # active formatting elements (reconstruction happens later,
+            # inside the new block, when character/inline tokens arrive)
+            self._insert_element(tag, attrs)
+            return
+        if branch == 9:  # _B_VOID
+            # spec: br/img/embed/… reconstruct; hr (in P_CLOSERS) closed
+            # the p above and per spec does not reconstruct
+            if tag != "hr":
+                self._reconstruct_formatting()
+            el = Element(tag, attrs)
+            self.current().append(el)
+            return
+        if branch == 5:  # _B_TDTH
             # spec "in row": clear the stack back to table row context,
             # then insert + AFE marker (no reconstruction).  The clearing
             # also recovers when the tokenizer's stack filter swallowed a
@@ -621,46 +675,27 @@ class TreeBuilder:
             self._insert_element(tag, attrs, foster=False)
             self.active_formatting.append(MARKER)
             return
-        if tag == "tr":
+        if branch == 6:  # _B_TR
             self._clear_to_table_context(("tbody", "thead", "tfoot", "table"))
             self._insert_element(tag, attrs, foster=False)
             return
-        if tag in ("tbody", "thead", "tfoot", "caption", "colgroup"):
+        if branch == 7:  # _B_TSECT
             self._clear_to_table_context(("table",))
             self._insert_element(tag, attrs, foster=False)
             if tag == "caption":
                 self.active_formatting.append(MARKER)
             return
-        if tag in ("applet", "marquee", "object"):
+        if branch == 8:  # _B_AMO
             self._reconstruct_formatting()
             self._insert_element(tag, attrs)
             self.active_formatting.append(MARKER)
             return
-        if tag in VOID or self_closing:
-            # spec: br/img/embed/… reconstruct; hr (in P_CLOSERS) closed
-            # the p above and per spec does not reconstruct
-            if tag != "hr":
-                self._reconstruct_formatting()
-            el = Element(tag, attrs)
-            self.current().append(el)
-            return
-        if tag == "table":
-            # spec "in table" <table>: a nested table start acts as
-            # </table> first, then the new table is processed (so
-            # sibling tables, never a table directly inside a table)
-            if self._in_table_scope("table"):
-                self._end("table")
-            self._insert_element(tag, attrs, foster=False)
-            return
-        if tag in P_CLOSERS or tag in HEADINGS:
-            # block-level group: spec inserts WITHOUT reconstructing the
-            # active formatting elements (reconstruction happens later,
-            # inside the new block, when character/inline tokens arrive)
-            self._insert_element(tag, attrs)
-            return
-        # "any other start tag": reconstruct, then insert
-        self._reconstruct_formatting()
-        self._insert_element(tag, attrs)
+        # branch == 10, _B_TABLE — spec "in table" <table>: a nested
+        # table start acts as </table> first, then the new table is
+        # processed (so sibling tables, never a table directly inside one)
+        if self._in_table_scope("table"):
+            self._end("table")
+        self._insert_element(tag, attrs, foster=False)
 
     def _start_head(self, attrs) -> None:
         if not any(el.tag == "html" for el in self.open_elements):
@@ -721,6 +756,66 @@ class TreeBuilder:
                 self._pop_until("table")
             return
         self._any_other_end_tag(tag)
+
+
+def _build_start_dispatch() -> dict:
+    """Precompute the per-tag (flags, branch) pairs for ``_start`` by
+    simulating the historical if-chain in its exact order — the table is
+    a pure refactoring artifact; behavior is pinned by the DOM goldens
+    and the fixture-corpus equality test."""
+    tb = TreeBuilder
+    tags = (
+        {
+            "html", "head", "body", "p", "li", "dd", "dt", "a", "td",
+            "th", "tr", "tbody", "thead", "tfoot", "caption", "colgroup",
+            "applet", "marquee", "object", "table",
+        }
+        | VOID | FORMATTING | P_CLOSERS | HEADINGS | tb.HEAD_ONLY
+    )
+    out = {}
+    for t in tags:
+        flags = 0
+        if t in P_CLOSERS:  # "p" is itself a P_CLOSER
+            flags |= tb._F_P
+        if t in HEADINGS:
+            flags |= tb._F_HEADING
+        if t == "li":
+            flags |= tb._F_LI
+        if t in ("dd", "dt"):
+            flags |= tb._F_DDDT
+        if t == "a":
+            flags |= tb._F_A
+        if t in tb.HEAD_ONLY:
+            flags |= tb._F_HEADONLY
+        if t == "html":
+            b = tb._B_HTML
+        elif t == "head":
+            b = tb._B_HEAD
+        elif t == "body":
+            b = tb._B_BODY
+        elif t in FORMATTING:
+            b = tb._B_FMT
+        elif t in ("td", "th"):
+            b = tb._B_TDTH
+        elif t == "tr":
+            b = tb._B_TR
+        elif t in ("tbody", "thead", "tfoot", "caption", "colgroup"):
+            b = tb._B_TSECT
+        elif t in ("applet", "marquee", "object"):
+            b = tb._B_AMO
+        elif t in VOID:
+            b = tb._B_VOID
+        elif t == "table":
+            b = tb._B_TABLE
+        elif t in P_CLOSERS or t in HEADINGS:
+            b = tb._B_BLOCK
+        else:
+            b = tb._B_OTHER
+        out[t] = (flags, b)
+    return out
+
+
+_START_DISPATCH = _build_start_dispatch()
 
 
 def build_tree(tokens) -> Element:
