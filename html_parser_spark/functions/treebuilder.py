@@ -92,6 +92,10 @@ _LIST_SCOPE_BARRIER = _SCOPE_BARRIER | _LIST_SCOPE_EXTRA
 
 # current-node tags that trigger foster parenting for non-table content
 _FOSTER_CTX = frozenset(["table", "tbody", "thead", "tfoot", "tr"])
+
+# C-level Text construction for the inlined _chars hot path (bypasses the
+# Python-frame Text.__new__; the spans attribute is set by the caller)
+_str_new = str.__new__
 _IMPLIED_END = frozenset(
     ["dd", "dt", "li", "optgroup", "option", "p", "rb", "rp", "rt", "rtc"]
 )
@@ -557,6 +561,29 @@ class TreeBuilder:
             last = afe[-1]
             if last is not MARKER and last not in self.open_elements:
                 self._reconstruct_formatting()
+        # inlined _insert_text hot path: no table context in scope →
+        # append (or tail-coalesce) on the current node, constructing the
+        # Text via C-level str.__new__ — skips two Python frames per text
+        # token (the dominant per-token cost, see BENCH.md r4 profile).
+        # Semantics identical to _insert_text: the tail either coalesces
+        # (prev sibling is a str) or appends at len(children), and a str
+        # child never takes a parent pointer (Element.append behavior).
+        cur = self.open_elements[-1]
+        if cur.tag not in _FOSTER_CTX:
+            siblings = cur.children
+            if siblings and isinstance(siblings[-1], str):
+                prev = siblings[-1]
+                t = _str_new(Text, str(prev) + data)
+                ps = [*getattr(prev, "spans", ())]
+                if span is not None:
+                    ps.append(span)
+                t.spans = ps
+                siblings[-1] = t
+            else:
+                t = _str_new(Text, data)
+                t.spans = [span] if span is not None else []
+                siblings.append(t)
+            return
         self._insert_text(data, span)
 
     def _start(self, tag: str, attrs, self_closing: bool) -> None:
