@@ -96,6 +96,9 @@ _FOSTER_CTX = frozenset(["table", "tbody", "thead", "tfoot", "tr"])
 # C-level Text construction for the inlined _chars hot path (bypasses the
 # Python-frame Text.__new__; the spans attribute is set by the caller)
 _str_new = str.__new__
+# C-level Element allocation for the inlined _insert_element hot path
+# (fields are set by the caller, matching Element.__init__ exactly)
+_el_new = object.__new__
 _IMPLIED_END = frozenset(
     ["dd", "dt", "li", "optgroup", "option", "p", "rb", "rp", "rt", "rtc"]
 )
@@ -202,21 +205,29 @@ class TreeBuilder:
         return cur, None
 
     def _insert_element(self, tag: str, attrs=(), foster: bool = True) -> Element:
-        el = Element(tag, attrs)
+        # inlined Element construction + append (saves two Python frames
+        # per element on the hottest tree op; field semantics identical —
+        # attrs ownership rule as in Element.__init__, parent set as in
+        # Element.append)
+        el = _el_new(Element)
+        el.tag = tag
+        el.attrs = attrs if type(attrs) is list else list(attrs)
+        el.children = []
         # table-structure tags are never foster-parented — the spec's
         # "in table" mode handles them structurally; fostering applies
         # only to its "anything else" branch.  The no-table-context
         # common case skips the _insert_location call outright.
         cur = self.open_elements[-1]
         if not foster or cur.tag not in _FOSTER_CTX:
-            parent, idx = cur, None
+            el.parent = cur
+            cur.children.append(el)
         else:
             parent, idx = self._insert_location()
-        if idx is None:
-            parent.append(el)
-        else:
             el.parent = parent
-            parent.children.insert(idx, el)
+            if idx is None:
+                parent.children.append(el)
+            else:
+                parent.children.insert(idx, el)
         self.open_elements.append(el)
         return el
 
@@ -754,7 +765,20 @@ class TreeBuilder:
             self._close_p()
             return
         if tag in HEADINGS:
-            if any(self._in_scope(h) for h in HEADINGS):
+            # fused "any heading in scope" — one stack walk instead of up
+            # to six _in_scope calls.  Equivalent because HEADINGS and
+            # _SCOPE_BARRIER are disjoint: the first element that is a
+            # heading (→ that heading is in scope) or a barrier (→ every
+            # heading walk stops here) decides.
+            hit = False
+            for el in reversed(self.open_elements):
+                t = el.tag
+                if t in HEADINGS:
+                    hit = True
+                    break
+                if t in _SCOPE_BARRIER:
+                    break
+            if hit:
                 self._generate_implied_end_tags()
                 while self.open_elements:
                     el = self.open_elements.pop()
