@@ -287,6 +287,15 @@ _FAST_CDATA = re.compile(r"<!\[CDATA\[([^\]\x00]*)\]\]>")
 # char::is_alphabetic; a run ending at a non-ASCII char needs the per-char
 # check to decide whether the run actually continues (unicode alphabetic)
 _ENT_ALPHA_RUN = re.compile(r"[A-Za-z]*")
+# whole-reference fast shapes for data_char_ref: the common "&name;" with
+# an ASCII-alpha run short enough that the MAX_POSSIBLE(=33) loop cap can
+# never fire ({1,32} + ';' fails on any 33+ run and falls to the slow
+# scan), and bulk digit runs for numeric refs (int(run, base) & 0xFFFFFFFF
+# equals the reference's per-char u32 wrap by modular induction:
+# ((a mod m)*b + d) mod m == (a*b + d) mod m)
+_FAST_NAMED_REF = re.compile(r"[A-Za-z]{1,32};")
+_DEC_RUN = re.compile(r"[0-9]+")
+_HEX_RUN = re.compile(r"[0-9a-fA-F]+")
 
 # memo for the whole-tag fast path, keyed on the EXACT matched source
 # substring.  Web-scale corpora repeat tag strings massively (the fixture
@@ -684,28 +693,16 @@ def tokenize(text: str, initial_state: int = DATA):
                 i += 1
                 c = text[i] if i < n else None
                 if c is not None and c in _ASCII_HEX:
-                    code = 0
-                    while i < n:
-                        c = text[i]
-                        if c in _ASCII_DIGIT:
-                            code = (code * 16 + (ord(c) - 0x30)) & 0xFFFFFFFF
-                        elif c in _ASCII_HEX:
-                            code = (
-                                code * 16
-                                + (ord(c) - (0x37 if "A" <= c <= "F" else 0x57))
-                            ) & 0xFFFFFFFF
-                        elif c == ";":
-                            i += 1
-                            break
-                        else:
-                            break
-                        i += 1
+                    e = _HEX_RUN.match(text, i).end()
+                    code = int(text[i:e], 16) & 0xFFFFFFFF
                     # NUMERIC_CHAR_REF_END span: a consumed ';' is inside
                     # (cur_idx+1), a reconsumed breaking char is not
-                    # (cur_idx) — both equal ``i`` here because the loop
-                    # advances past ';' but not past a breaking char
-                    emit_chars(_numeric_ref_char(code), j, min(i, n))
-                    return i
+                    # (cur_idx) — both equal the resume position because
+                    # we advance past ';' but not past a breaking char
+                    if e < n and text[e] == ";":
+                        e += 1
+                    emit_chars(_numeric_ref_char(code), j, e)
+                    return e
                 if c is None:
                     # HEX_CHAR_REF_START EOF quirk: reconsume WITHOUT
                     # flushing — "&#x" at EOF is swallowed
@@ -715,19 +712,12 @@ def tokenize(text: str, initial_state: int = DATA):
                 emit_chars("&#" + x, j, i)
                 return i
             if c is not None and c in _ASCII_DIGIT:
-                code = 0
-                while i < n:
-                    c = text[i]
-                    if c in _ASCII_DIGIT:
-                        code = (code * 10 + (ord(c) - 0x30)) & 0xFFFFFFFF
-                    elif c == ";":
-                        i += 1
-                        break
-                    else:
-                        break
-                    i += 1
-                emit_chars(_numeric_ref_char(code), j, min(i, n))
-                return i
+                e = _DEC_RUN.match(text, i).end()
+                code = int(text[i:e], 10) & 0xFFFFFFFF
+                if e < n and text[e] == ";":
+                    e += 1
+                emit_chars(_numeric_ref_char(code), j, e)
+                return e
             # DEC_CHAR_REF_START EOF/anything-else: flush "&#" raw
             emit_chars("&#", j, i if i < n else n)
             return i if i < n else n
@@ -735,11 +725,22 @@ def tokenize(text: str, initial_state: int = DATA):
             ("a" <= c <= "z" or "A" <= c <= "Z" or "0" <= c <= "9")
             or _is_alphanumeric(c)
         ):
+            # NAMED_CHAR_REF fast shape: a short ASCII-alpha run ending in
+            # ';' — the b == ';' arm below with the loop cap provably
+            # unreachable ({1,32} can't absorb a 33+ run)
+            fm = _FAST_NAMED_REF.match(text, i)
+            if fm is not None:
+                name = "&" + fm.group(0)
+                cur_c: str | None = ";"
+                i = fm.end()
+                m = None
+            else:
+                m = _ENT_ALPHA_RUN.match(text, i)
             # NAMED_CHAR_REF — bulk-scan the ASCII-alpha run; per-char
             # continuation only when it ends at a unicode-alphabetic char
-            m = _ENT_ALPHA_RUN.match(text, i)
-            e = m.end()
-            if e - i >= MAX_POSSIBLE:
+            if m is None:
+                pass
+            elif (e := m.end()) - i >= MAX_POSSIBLE:
                 # loop cap: last consumed char kept in buf AND reprocessed
                 e = i + MAX_POSSIBLE
                 name = "&" + text[i:e]
