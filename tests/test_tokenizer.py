@@ -234,3 +234,31 @@ def test_data_char_ref_span_endpoints():
     assert toks[0][:2] == ("chars", ">=")
     toks, _, _ = tokenize("&#65=")
     assert toks[0][:2] == ("chars", "A=")
+
+
+def test_char_ref_fast_shape_boundaries():
+    """The f297caf fast shapes: `[A-Za-z]{1,32};` must agree with the
+    generic scan at the MAX_POSSIBLE(=33) loop-cap boundary, and the
+    bulk int() numeric conversion must reproduce the per-char u32 wrap.
+    Ground truth for all of these is the reference-binary differential
+    (BENCH.md tallies); these pins document the boundaries in-suite."""
+    # 32-alpha run + ';' → fast shape; unknown name falls back by prefix
+    # ("&z" matches nothing ≥ MIN_POSSIBLE → raw, span kept)
+    assert _slow_data("&" + "z" * 32 + ";")[0] == ["chars", "&" + "z" * 32 + ";"]
+    # 33-alpha run + ';' → loop cap: the 33rd char is kept in the buffer
+    # AND reprocessed (the reference's own duplication quirk — probe-
+    # verified this session), so the raw emission carries 34 z's; the
+    # fast regex must NOT absorb this shape (it would lose the dup)
+    assert _slow_data("&" + "z" * 33 + ";")[0] == ["chars", "&" + "z" * 34 + ";"]
+    # a real entity through the fast shape
+    assert _slow_data("&CounterClockwiseContourIntegral;x")[0] == ["chars", "∳x"]
+    # numeric u32 wrap: 2^32 + 65 wraps to 65 ('A'); huge decimal runs
+    # wrap identically under int(run) & 0xFFFFFFFF
+    assert _slow_data("&#4294967361;")[0] == ["chars", "A"]
+    assert _slow_data("&#x100000041;")[0] == ["chars", "A"]
+    assert _slow_data("&#18446744073709551617;")[0][1] == _slow_data("&#1;")[0][1]
+    # unterminated numeric: breaking char reprocessed, not consumed
+    assert _slow_data("&#65 x")[0] == ["chars", "A x"]
+    assert _slow_data("&#x41 x")[0] == ["chars", "A x"]
+    # '&#x' at EOF swallowed (HEX_CHAR_REF_START EOF quirk)
+    assert _slow_data("a&#x") == [["chars", "a"], ["eof"]]
