@@ -415,7 +415,33 @@ def repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     opposite formulation (unnest → GROUP BY → window) so the oracle is
     an independent derivation, not an echo."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_signals(docs)
 
+
+def filter_quality(docs: DataFrame) -> DataFrame:
+    """Gopher-gate a documents frame IN PLACE: same signals as
+    :func:`repetition_filters`, computed inline over ``docs`` with every
+    original column threaded through the projection, then filtered on
+    ``gopher_keep`` — scan → project → filter, ZERO shuffles and ONE
+    scan.  This is the corpus-job form: the keep-list-then-semi-join
+    formulation reads the documents twice and shuffles the full text
+    through a SortMergeJoin (the signals frame's size estimate is
+    unknown, so the join never broadcasts) — measured 7.8× wall per 10×
+    data at sf1.0 (BENCH.md round 4) where every other stage was
+    sub-linear.  Inline, the quality gate is embarrassingly parallel at
+    any scale."""
+    through = tuple(c for c in docs.columns if c != "doc_id")
+    sig = repetition_signals(docs, passthrough=through)
+    return sig.filter(F.col("gopher_keep") == 1).select(*docs.columns)
+
+
+def repetition_signals(
+    docs: DataFrame, passthrough: tuple = ()
+) -> DataFrame:
+    """Signal computation shared by :func:`repetition_filters` (bare,
+    gate-oracled) and :func:`filter_quality` (inline, ``passthrough``
+    carries the document columns through the Generate barriers so the
+    caller can filter without re-joining text)."""
     # Generate barriers (same lesson as the MinHash signatures, BENCH.md
     # round-3 session 2): each stage materializes the arrays the next
     # stage references more than once — without them CollapseProject
@@ -425,12 +451,14 @@ def repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on 97k extracted docs; the staged form is ~linear).  A barrier is
     # explode(array(struct(...))): one row in, one row out, no shuffle.
     def _barrier(frame, **exprs):
+        assert not set(exprs) & set(passthrough), "barrier name collision"
         return frame.select(
             "doc_id",
+            *passthrough,
             F.explode(
                 F.array(F.struct(*[e.alias(k) for k, e in exprs.items()]))
             ).alias("b"),
-        ).select("doc_id", "b.*")
+        ).select("doc_id", *passthrough, "b.*")
 
     s1 = _barrier(
         docs,
@@ -548,6 +576,7 @@ def repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return s3.select(
         "doc_id",
+        *passthrough,
         F.col("n_lines").cast("long").alias("n_lines"),
         dup_line_bp.alias("dup_line_bp"),
         dup_char_bp.alias("dup_char_bp"),

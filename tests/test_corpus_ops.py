@@ -138,6 +138,41 @@ def test_repetition_filters_plan_no_shuffle(spark):
     assert "Exchange" not in plan
 
 
+def test_filter_quality_equals_join_formulation(spark):
+    """The corpus job's inline gate (filter_quality) must keep exactly
+    the docs the keep-list + semi-join formulation keeps, with every
+    original column intact."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    inline = textstats.filter_quality(docs)
+    assert inline.columns == docs.columns
+    keep = (
+        textstats.repetition_filters(spark, SF_DIR)
+        .filter(F.col("gopher_keep") == 1)
+        .select("doc_id")
+    )
+    joined = docs.join(keep, "doc_id", "left_semi")
+    srows = sorted(map(tuple, inline.collect()))
+    jrows = sorted(map(tuple, joined.collect()))
+    assert srows == jrows
+    assert 0 < len(srows) < docs.count()
+
+
+def test_filter_quality_plan_no_shuffle_no_join(spark):
+    """The inline gate is the reason the quality stage scales: one scan,
+    no Exchange, no join anywhere in the physical plan."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = (
+        textstats.filter_quality(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
 def test_repetition_filters_random_docs_vs_python(spark, tmp_path):
     """Property check: the array-op formulation (sort + neighbor equality,
     run-length aggregate) equals a naive pure-Python computation on random

@@ -166,14 +166,14 @@ def main() -> None:
     n_targets = spark.read.parquet(f"{args.output}/link_stats").count()
     stage("linkrank", n_links, n_targets, t0)
 
-    # 2. QUALITY — Gopher/C4 repetition gates
+    # 2. QUALITY — Gopher/C4 repetition gates, computed INLINE on the
+    # document rows (scan → project → filter, zero shuffle).  The old
+    # keep-list + left_semi form scanned the stage input twice and
+    # shuffled the full text through a SortMergeJoin — the one
+    # super-linear stage in the decade curve (7.8× per 10× at sf1.0,
+    # BENCH.md) until this.
     t0 = time.time()
-    keep = textstats.repetition_filters(spark, d1).filter(
-        F.col("gopher_keep") == 1
-    ).select("doc_id")
-    q = spark.read.parquet(f"{d1}/documents.parquet").join(
-        keep, "doc_id", "left_semi"
-    )
+    q = textstats.filter_quality(spark.read.parquet(f"{d1}/documents.parquet"))
     d2 = write_docs(q, "quality")
     n2 = spark.read.parquet(f"{d2}/documents.parquet").count()
     stage("quality", n1, n2, t0)
