@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Substage attribution for the corpus job's DEDUP stage.
+
+Times, in one Spark session over a quality-stage checkpoint, each
+component the stage composes: MinHash candidates + exact-Jaccard verify
+(ngram_jaccard), SimHash component-equivalent edges, the edge union, the
+connected-components iteration, and the keeper semi-join + write.  Each
+timing materializes with a count (or the job's own parquet write for the
+last one), so the walls are comparable to the job's stage metric.
+
+    python tools/profile_dedup.py <docs_dir> [--hash-family fast]
+
+<docs_dir> holds documents.parquet (e.g. the job's --work quality dir).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("docs_dir")
+    ap.add_argument("--hash-family", default="fast", choices=("md5", "fast"))
+    ap.add_argument("--n-hashes", type=int, default=128)
+    ap.add_argument("--n-bands", type=int, default=16)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from html_parser_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard,
+        simhash_component_edges,
+    )
+    from html_parser_spark.plans.session import get_spark
+
+    spark = get_spark(app_name="profile-dedup")
+    rows: list[dict] = []
+
+    def step(name: str, fn) -> object:
+        t0 = time.time()
+        v = fn()
+        rows.append({"step": name, "wall_sec": round(time.time() - t0, 2), "n": v})
+        print(json.dumps(rows[-1]), flush=True)
+        return v
+
+    d = args.docs_dir
+    step("warm_scan", lambda: spark.read.parquet(f"{d}/documents.parquet").count())
+
+    mh = ngram_jaccard(
+        spark, d, n_hashes=args.n_hashes, n_bands=args.n_bands,
+        hash_family=args.hash_family,
+    ).select("doc_a", "doc_b")
+    step("minhash_jaccard_edges", mh.count)
+
+    sh = simhash_component_edges(spark, d).select("doc_a", "doc_b")
+    step("simhash_component_edges", sh.count)
+
+    edges = mh.unionByName(sh).distinct()
+    step("edge_union_distinct", edges.count)
+
+    docs = spark.read.parquet(f"{d}/documents.parquet").select("doc_id")
+    cc = connected_components(docs, edges, 25)
+    cc = cc.persist()
+    step("connected_components", cc.count)
+
+    keepers = cc.filter(F.col("is_keeper") == 1).select("doc_id")
+    deduped = spark.read.parquet(f"{d}/documents.parquet").join(
+        keepers, "doc_id", "left_semi"
+    )
+    step(
+        "keeper_semijoin_write",
+        lambda: deduped.write.mode("overwrite").parquet("/tmp/profile_dedup_out")
+        or spark.read.parquet("/tmp/profile_dedup_out").count(),
+    )
+
+    total = round(sum(r["wall_sec"] for r in rows[1:]), 2)
+    print(json.dumps({"total_sec": total, "steps": rows}))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"total_sec": total, "steps": rows}, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
