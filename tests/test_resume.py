@@ -1,5 +1,6 @@
 """Resumability contract: kill-and-resume never loses or duplicates turns."""
 
+import os
 import pytest
 from pyspark.sql import functions as F
 
@@ -51,3 +52,50 @@ def test_lineage_covers_all_turns(spark, transcripts, tmp_path_factory):
 
 def test_filter_uncommitted_none_passthrough(transcripts):
     assert filter_uncommitted(transcripts, None) is transcripts
+
+
+def test_corpus_job_stage_resume(tmp_path_factory):
+    """The multi-stage corpus job's --resume contract: a killed run
+    restarts by skipping every committed stage (identical counts
+    reported, flagged skipped) and recomputing only from the kill point,
+    with bit-identical final row counts.  Runs the real CLI twice as a
+    subprocess at sf0.001."""
+    import json
+    import shutil
+    import subprocess
+    import sys
+
+    inp = os.path.dirname(ensure_transcripts(0.001))
+    root = tmp_path_factory.mktemp("cjob")
+    work, out = str(root / "work"), str(root / "out")
+
+    def run(*extra):
+        env = dict(os.environ, PYTHONPATH="/root/repo")
+        p = subprocess.run(
+            [sys.executable, "/root/repo/tools/submit/corpus_job.py",
+             "--input", inp, "--work", work, "--output", out, *extra],
+            capture_output=True, text=True, env=env, timeout=900,
+        )
+        assert p.returncode == 0, p.stderr[-2000:]
+        return [json.loads(l) for l in p.stdout.splitlines()
+                if l.startswith('{"stage"')]
+
+    fresh = run()
+    assert not any(m.get("skipped") for m in fresh)
+
+    # kill simulation: split + pack artifacts never committed
+    for d in (f"{out}/splits", f"{out}/documents", f"{out}/sequences",
+              f"{work}/train"):
+        shutil.rmtree(d, ignore_errors=True)
+    resumed = run("--resume")
+
+    by = {m["stage"]: m for m in resumed}
+    for st in ("extract", "linkrank", "quality", "dedup", "decontaminate"):
+        assert by[st]["skipped"] is True, st
+    for st in ("split", "pack"):
+        assert "skipped" not in by[st], st
+    # counts identical stage for stage, skipped or recomputed
+    for f, r in zip(fresh, resumed):
+        assert (f["stage"], f["rows_in"], f["rows_out"]) == (
+            r["stage"], r["rows_in"], r["rows_out"]
+        )

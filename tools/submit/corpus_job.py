@@ -80,6 +80,18 @@ def main() -> None:
         "fused checkpoint for downstream quality models",
     )
     ap.add_argument("--master", default=None)
+    ap.add_argument(
+        "--resume",
+        action="store_true",
+        help="restart a KILLED run: skip any stage whose outputs are "
+        "already committed (every artifact carries Spark's job-commit "
+        "_SUCCESS marker, so a stage killed mid-write is recomputed, a "
+        "committed one never is).  The guard is per-stage, not a "
+        "dependency graph: to force recompute FROM stage N, delete that "
+        "stage's artifacts and everything downstream.  On a real "
+        "cluster the same check goes through the Hadoop FileSystem API "
+        "or the Iceberg snapshot log instead of os.path.",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -99,16 +111,27 @@ def main() -> None:
     )
     metrics: list[dict] = []
 
-    def stage(name: str, n_in: int, n_out: int, t0: float) -> None:
-        metrics.append(
-            {
-                "stage": name,
-                "rows_in": n_in,
-                "rows_out": n_out,
-                "wall_sec": round(time.time() - t0, 2),
-            }
+    def stage(
+        name: str, n_in: int, n_out: int, t0: float, skipped: bool = False
+    ) -> None:
+        m = {
+            "stage": name,
+            "rows_in": n_in,
+            "rows_out": n_out,
+            "wall_sec": round(time.time() - t0, 2),
+        }
+        if skipped:
+            m["skipped"] = True
+        metrics.append(m)
+        print(json.dumps(m))
+
+    def committed(*paths: str) -> bool:
+        """True iff --resume and every artifact has its job-commit
+        marker (files only become visible on commit, so a marker means
+        the whole stage output is present and consistent)."""
+        return args.resume and all(
+            os.path.exists(os.path.join(p, "_SUCCESS")) for p in paths
         )
-        print(json.dumps(metrics[-1]))
 
     def docs_dir(stage_name: str) -> str:
         return os.path.join(args.work, stage_name)
@@ -122,49 +145,69 @@ def main() -> None:
     # the SAME tokenize pass harvests the link graph (written once here,
     # before dedup — provenance should cover removed near-dups too)
     t0 = time.time()
-    transcripts = spark.read.parquet(args.input)
-    n_turns = transcripts.count()
-    if args.with_dom:
-        # the three-way fusion: the SAME tokenize also runs the
-        # DOM-heuristic policy; dom_* columns ride the fused checkpoint
-        # for downstream quality models (cost ≈ the DOM pass alone
-        # instead of a second full UDF stage — BENCH.md round 4)
-        from html_parser_spark.operators.pipeline import run_extraction_full
-
-        extracted = run_extraction_full(transcripts)
+    d1 = docs_dir("extracted")
+    if committed(
+        os.path.join(args.work, "fused"),
+        f"{d1}/documents.parquet",
+        f"{args.output}/links",
+    ):
+        n_turns = spark.read.parquet(args.input).count()
+        n1 = spark.read.parquet(f"{d1}/documents.parquet").count()
+        stage("extract", n_turns, n1, t0, skipped=True)
     else:
-        extracted = run_extraction_with_links(transcripts)
-    extracted.write.mode("overwrite").parquet(
-        os.path.join(args.work, "fused")
-    )
-    fused = spark.read.parquet(os.path.join(args.work, "fused"))
-    fused.filter(F.size("links") > 0).select(
-        "conv_id", "turn_idx", F.explode("links").alias("lk")
-    ).select("conv_id", "turn_idx", "lk.*").write.mode("overwrite").parquet(
-        f"{args.output}/links"
-    )
-    docs = fused.filter(F.length("main_text") > 0).select(
-        F.xxhash64("conv_id", "turn_idx").alias("doc_id"),
-        F.col("main_text").alias("text"),
-        F.lit("transcripts").alias("source"),
-        F.length("main_text").cast("long").alias("n_chars"),
-    )
-    d1 = write_docs(docs, "extracted")
-    n1 = spark.read.parquet(f"{d1}/documents.parquet").count()
-    stage("extract", n_turns, n1, t0)
+        transcripts = spark.read.parquet(args.input)
+        n_turns = transcripts.count()
+        if args.with_dom:
+            # the three-way fusion: the SAME tokenize also runs the
+            # DOM-heuristic policy; dom_* columns ride the fused
+            # checkpoint for downstream quality models (cost ≈ the DOM
+            # pass alone instead of a second full UDF stage — BENCH.md
+            # round 4)
+            from html_parser_spark.operators.pipeline import (
+                run_extraction_full,
+            )
+
+            extracted = run_extraction_full(transcripts)
+        else:
+            extracted = run_extraction_with_links(transcripts)
+        extracted.write.mode("overwrite").parquet(
+            os.path.join(args.work, "fused")
+        )
+        fused = spark.read.parquet(os.path.join(args.work, "fused"))
+        fused.filter(F.size("links") > 0).select(
+            "conv_id", "turn_idx", F.explode("links").alias("lk")
+        ).select("conv_id", "turn_idx", "lk.*").write.mode(
+            "overwrite"
+        ).parquet(f"{args.output}/links")
+        docs = fused.filter(F.length("main_text") > 0).select(
+            F.xxhash64("conv_id", "turn_idx").alias("doc_id"),
+            F.col("main_text").alias("text"),
+            F.lit("transcripts").alias("source"),
+            F.length("main_text").cast("long").alias("n_chars"),
+        )
+        d1 = write_docs(docs, "extracted")
+        n1 = spark.read.parquet(f"{d1}/documents.parquet").count()
+        stage("extract", n_turns, n1, t0)
 
     # 1b. LINKRANK — per-target link-graph signals over the links the
     # fused pass just wrote (no second harvest): inlink counts, distinct
     # source conversations, anchor consensus.  Ids/counts-only shuffles.
     t0 = time.time()
-    from html_parser_spark.operators.linkrank import target_stats_from_links
+    if committed(f"{args.output}/link_stats"):
+        n_links = spark.read.parquet(f"{args.output}/links").count()
+        n_targets = spark.read.parquet(f"{args.output}/link_stats").count()
+        stage("linkrank", n_links, n_targets, t0, skipped=True)
+    else:
+        from html_parser_spark.operators.linkrank import (
+            target_stats_from_links,
+        )
 
-    link_rows = spark.read.parquet(f"{args.output}/links")
-    n_links = link_rows.count()
-    stats = target_stats_from_links(link_rows, top_k=10000)
-    stats.write.mode("overwrite").parquet(f"{args.output}/link_stats")
-    n_targets = spark.read.parquet(f"{args.output}/link_stats").count()
-    stage("linkrank", n_links, n_targets, t0)
+        link_rows = spark.read.parquet(f"{args.output}/links")
+        n_links = link_rows.count()
+        stats = target_stats_from_links(link_rows, top_k=10000)
+        stats.write.mode("overwrite").parquet(f"{args.output}/link_stats")
+        n_targets = spark.read.parquet(f"{args.output}/link_stats").count()
+        stage("linkrank", n_links, n_targets, t0)
 
     # 2. QUALITY — Gopher/C4 repetition gates, computed INLINE on the
     # document rows (scan → project → filter, zero shuffle).  The old
@@ -173,81 +216,116 @@ def main() -> None:
     # super-linear stage in the decade curve (7.8× per 10× at sf1.0,
     # BENCH.md) until this.
     t0 = time.time()
-    q = textstats.filter_quality(spark.read.parquet(f"{d1}/documents.parquet"))
-    d2 = write_docs(q, "quality")
-    n2 = spark.read.parquet(f"{d2}/documents.parquet").count()
-    stage("quality", n1, n2, t0)
+    d2 = docs_dir("quality")
+    if committed(f"{d2}/documents.parquet"):
+        n2 = spark.read.parquet(f"{d2}/documents.parquet").count()
+        stage("quality", n1, n2, t0, skipped=True)
+    else:
+        q = textstats.filter_quality(
+            spark.read.parquet(f"{d1}/documents.parquet")
+        )
+        d2 = write_docs(q, "quality")
+        n2 = spark.read.parquet(f"{d2}/documents.parquet").count()
+        stage("quality", n1, n2, t0)
 
     # 3. DEDUP — exact + verified near-dup clusters, keep representatives
     t0 = time.time()
-    clusters = dedup_cluster_keep_list(
-        spark, d2, n_hashes=args.n_hashes, n_bands=args.n_bands,
-        hash_family=args.hash_family,
-    ).persist()
-    clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
-    keepers = clusters.filter(F.col("is_keeper") == 1).select("doc_id")
-    deduped = spark.read.parquet(f"{d2}/documents.parquet").join(
-        keepers, "doc_id", "left_semi"
-    )
-    d3 = write_docs(deduped, "deduped")
-    clusters.unpersist()
-    # the edge builders persist their sketch/signature frames internally
-    # (each is read 2-3× inside one stage); nothing cached is wanted past
-    # this boundary, so drop it all rather than carry executor storage
-    # into the text-scanning stages that follow
-    spark.catalog.clearCache()
-    n3 = spark.read.parquet(f"{d3}/documents.parquet").count()
-    stage("dedup", n2, n3, t0)
+    d3 = docs_dir("deduped")
+    if committed(f"{d3}/documents.parquet", f"{args.output}/clusters"):
+        n3 = spark.read.parquet(f"{d3}/documents.parquet").count()
+        stage("dedup", n2, n3, t0, skipped=True)
+    else:
+        clusters = dedup_cluster_keep_list(
+            spark, d2, n_hashes=args.n_hashes, n_bands=args.n_bands,
+            hash_family=args.hash_family,
+        ).persist()
+        clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
+        keepers = clusters.filter(F.col("is_keeper") == 1).select("doc_id")
+        deduped = spark.read.parquet(f"{d2}/documents.parquet").join(
+            keepers, "doc_id", "left_semi"
+        )
+        d3 = write_docs(deduped, "deduped")
+        clusters.unpersist()
+        # the edge builders persist their sketch/signature frames
+        # internally (each is read 2-3× inside one stage); nothing cached
+        # is wanted past this boundary, so drop it all rather than carry
+        # executor storage into the text-scanning stages that follow
+        spark.catalog.clearCache()
+        n3 = spark.read.parquet(f"{d3}/documents.parquet").count()
+        stage("dedup", n2, n3, t0)
 
     # 4. DECONTAM — drop training docs sharing 8-grams with the eval
     # slice, AND route the eval slice itself out of the training corpus
     # (ADVICE r03: leaving the held-out docs in the corpus trains on
     # them).  The eval docs land in <output>/heldout for eval builds.
     t0 = time.time()
-    contaminated = decontaminate(
-        spark, d3, eval_modulus=args.eval_modulus, gram_width=args.gram_width
-    ).select("doc_id")
-    d3_docs = spark.read.parquet(f"{d3}/documents.parquet")
-    is_eval = F.col("doc_id") % args.eval_modulus == 0
-    d3_docs.filter(is_eval).write.mode("overwrite").parquet(
-        f"{args.output}/heldout"
-    )
-    clean = d3_docs.filter(~is_eval).join(contaminated, "doc_id", "left_anti")
-    d4 = write_docs(clean, "clean")
-    n4 = spark.read.parquet(f"{d4}/documents.parquet").count()
-    stage("decontaminate", n3, n4, t0)
+    d4 = docs_dir("clean")
+    if committed(f"{d4}/documents.parquet", f"{args.output}/heldout"):
+        n4 = spark.read.parquet(f"{d4}/documents.parquet").count()
+        stage("decontaminate", n3, n4, t0, skipped=True)
+    else:
+        contaminated = decontaminate(
+            spark, d3, eval_modulus=args.eval_modulus,
+            gram_width=args.gram_width,
+        ).select("doc_id")
+        d3_docs = spark.read.parquet(f"{d3}/documents.parquet")
+        is_eval = F.col("doc_id") % args.eval_modulus == 0
+        d3_docs.filter(is_eval).write.mode("overwrite").parquet(
+            f"{args.output}/heldout"
+        )
+        clean = d3_docs.filter(~is_eval).join(
+            contaminated, "doc_id", "left_anti"
+        )
+        d4 = write_docs(clean, "clean")
+        n4 = spark.read.parquet(f"{d4}/documents.parquet").count()
+        stage("decontaminate", n3, n4, t0)
 
     # 5. SPLIT — deterministic assignment, written alongside the corpus
     t0 = time.time()
-    splits = sampling.corpus_splits(spark, d4)
-    splits.write.mode("overwrite").parquet(f"{args.output}/splits")
-    spark.read.parquet(f"{d4}/documents.parquet").write.mode(
-        "overwrite"
-    ).parquet(f"{args.output}/documents")
-    n_train = splits.filter(F.col("split") == "train").count()
-    stage("split", n4, n_train, t0)
+    if committed(f"{args.output}/splits", f"{args.output}/documents"):
+        splits = spark.read.parquet(f"{args.output}/splits")
+        n_train = splits.filter(F.col("split") == "train").count()
+        stage("split", n4, n_train, t0, skipped=True)
+    else:
+        splits = sampling.corpus_splits(spark, d4)
+        splits.write.mode("overwrite").parquet(f"{args.output}/splits")
+        spark.read.parquet(f"{d4}/documents.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{args.output}/documents")
+        splits = spark.read.parquet(f"{args.output}/splits")
+        n_train = splits.filter(F.col("split") == "train").count()
+        stage("split", n4, n_train, t0)
 
     # 6. PACK — fixed-length training sequences over the train split only.
     # pack_sequences shards by a doc_id hash, so restricting to the train
     # docs first keeps the shard prefix sums train-only.
     t0 = time.time()
-    train_dir = docs_dir("train")
-    spark.read.parquet(f"{d4}/documents.parquet").join(
-        splits.filter(F.col("split") == "train").select("doc_id"),
-        "doc_id",
-        "left_semi",
-    ).write.mode("overwrite").parquet(f"{train_dir}/documents.parquet")
-    packed = chunking.pack_sequences(
-        spark, train_dir, seq_len=args.seq_len, n_groups=args.pack_groups
-    )
-    packed.write.mode("overwrite").parquet(f"{args.output}/sequences")
-    n_seq = (
-        spark.read.parquet(f"{args.output}/sequences")
-        .select("group_id", "seq_id")
-        .distinct()
-        .count()
-    )
-    stage("pack", n_train, n_seq, t0)
+    if committed(f"{args.output}/sequences"):
+        n_seq = (
+            spark.read.parquet(f"{args.output}/sequences")
+            .select("group_id", "seq_id")
+            .distinct()
+            .count()
+        )
+        stage("pack", n_train, n_seq, t0, skipped=True)
+    else:
+        train_dir = docs_dir("train")
+        spark.read.parquet(f"{d4}/documents.parquet").join(
+            splits.filter(F.col("split") == "train").select("doc_id"),
+            "doc_id",
+            "left_semi",
+        ).write.mode("overwrite").parquet(f"{train_dir}/documents.parquet")
+        packed = chunking.pack_sequences(
+            spark, train_dir, seq_len=args.seq_len, n_groups=args.pack_groups
+        )
+        packed.write.mode("overwrite").parquet(f"{args.output}/sequences")
+        n_seq = (
+            spark.read.parquet(f"{args.output}/sequences")
+            .select("group_id", "seq_id")
+            .distinct()
+            .count()
+        )
+        stage("pack", n_train, n_seq, t0)
 
     os.makedirs(args.output, exist_ok=True)
     with open(f"{args.output}/metrics.json", "w") as f:
