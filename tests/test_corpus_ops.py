@@ -397,3 +397,43 @@ def test_shared_substring_spans_semantics(spark, tmp_path):
     # doc 2: boiler at 1..100, same trailing-space window at 62 ->
     # merged span [1, 102)
     assert spans[2] == (1, 102)
+
+
+def test_operators_on_empty_and_degenerate_corpora(spark, tmp_path):
+    """Degenerate-input contract: a 100-TB pipeline hits empty stage
+    outputs (a filter that drops everything) and pathological shards
+    (all documents identical).  Every corpus operator must return a
+    well-formed empty/collapsed result, never raise."""
+    from html_parser_spark.operators import chunking, sampling
+    from html_parser_spark.operators.dedup import (
+        decontaminate,
+        dedup_cluster_keep_list,
+    )
+
+    schema = "doc_id long, text string, source string, n_chars long"
+
+    d_empty = str(tmp_path / "empty")
+    spark.createDataFrame([], schema).write.parquet(
+        f"{d_empty}/documents.parquet"
+    )
+    assert textstats.filter_quality(
+        spark.read.parquet(f"{d_empty}/documents.parquet")
+    ).count() == 0
+    assert textstats.repetition_filters(spark, d_empty).count() == 0
+    assert dedup_cluster_keep_list(spark, d_empty).count() == 0
+    assert decontaminate(spark, d_empty).count() == 0
+    assert sampling.corpus_splits(spark, d_empty).count() == 0
+    assert chunking.pack_sequences(spark, d_empty).count() == 0
+
+    # all-identical corpus: one cluster, exactly one keeper (min doc_id)
+    d_same = str(tmp_path / "same")
+    text = "the same document body repeated verbatim across every row " * 8
+    rows = [(i, text, "s", len(text)) for i in range(1, 41)]
+    spark.createDataFrame(rows, schema).write.parquet(
+        f"{d_same}/documents.parquet"
+    )
+    cl = dedup_cluster_keep_list(spark, d_same).collect()
+    assert len(cl) == 40
+    assert {r.cluster_id for r in cl} == {1}
+    keepers = [r.doc_id for r in cl if r.is_keeper == 1]
+    assert keepers == [1]
