@@ -99,3 +99,22 @@ def test_corpus_job_stage_resume(tmp_path_factory):
         assert (f["stage"], f["rows_in"], f["rows_out"]) == (
             r["stage"], r["rows_in"], r["rows_out"]
         )
+
+    # --bucket-docs: identical row flow with bucketed checkpoints (the
+    # exchange-free join layout is plan-pinned in test_bucketed_join)
+    shutil.rmtree(work), shutil.rmtree(out)
+    bucketed = run("--bucket-docs", "8")
+    for f, b in zip(fresh, bucketed):
+        assert (f["stage"], f["rows_in"], f["rows_out"]) == (
+            b["stage"], b["rows_in"], b["rows_out"]
+        )
+    # resuming a bucketed checkpoint without the flag must refuse
+    # (registering the wrong layout would corrupt every downstream join)
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    p = subprocess.run(
+        [sys.executable, "/root/repo/tools/submit/corpus_job.py",
+         "--input", inp, "--work", work, "--output", out, "--resume"],
+        capture_output=True, text=True, env=env, timeout=900,
+    )
+    assert p.returncode != 0
+    assert "bucket_docs=8" in (p.stdout + p.stderr)

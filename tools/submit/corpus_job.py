@@ -81,6 +81,23 @@ def main() -> None:
     )
     ap.add_argument("--master", default=None)
     ap.add_argument(
+        "--bucket-docs",
+        type=int,
+        default=0,
+        metavar="N",
+        help="write every stage's documents checkpoint as a doc_id-"
+        "bucketed (and per-bucket sorted) table with N buckets instead "
+        "of plain parquet.  This is the 10^12-doc shape for the id "
+        "joins (keeper semi-join, decontamination anti-join, train "
+        "split semi-join): at sandbox scale the id lists broadcast, but "
+        "at full scale a keeper list is ~terabytes and the joins "
+        "degrade to SortMergeJoin — bucketed checkpoints keep the TEXT "
+        "side exchange-free forever (only the id side hashes into the "
+        "bucket layout).  Stage outputs stay at the same paths and "
+        "remain plain-parquet-readable; tables are re-registered from "
+        "the path on --resume.",
+    )
+    ap.add_argument(
         "--resume",
         action="store_true",
         help="restart a KILLED run: skip any stage whose outputs are "
@@ -136,10 +153,62 @@ def main() -> None:
     def docs_dir(stage_name: str) -> str:
         return os.path.join(args.work, stage_name)
 
+    DOCS_SCHEMA = "doc_id BIGINT, text STRING, source STRING, n_chars BIGINT"
+
     def write_docs(df, stage_name: str) -> str:
         d = docs_dir(stage_name)
-        df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        path = os.path.join(d, "documents.parquet")
+        if args.bucket_docs:
+            tbl = f"docs_{stage_name}"
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            (
+                df.write.bucketBy(args.bucket_docs, "doc_id")
+                .sortBy("doc_id")
+                .option("path", path)
+                .mode("overwrite")
+                .saveAsTable(tbl)
+            )
+            with open(os.path.join(d, "bucket_spec.json"), "w") as f:
+                json.dump({"buckets": args.bucket_docs, "key": "doc_id"}, f)
+        else:
+            df.write.mode("overwrite").parquet(path)
         return d
+
+    def _check_bucket_spec(stage_name: str) -> None:
+        """Registering a bucket layout the files don't actually have
+        silently corrupts every downstream join — refuse to resume a
+        checkpoint written under a different --bucket-docs."""
+        spec_path = os.path.join(docs_dir(stage_name), "bucket_spec.json")
+        found = None
+        if os.path.exists(spec_path):
+            with open(spec_path) as f:
+                found = json.load(f)["buckets"]
+        if found != (args.bucket_docs or None):
+            raise SystemExit(
+                f"checkpoint '{stage_name}' was written with "
+                f"bucket_docs={found}, this run has "
+                f"bucket_docs={args.bucket_docs or None}; re-run with the "
+                f"matching --bucket-docs or delete the checkpoint"
+            )
+
+    def read_docs(stage_name: str):
+        """Stage-checkpoint reader: with --bucket-docs the catalog table
+        carries the bucket spec, so joins against it need no exchange on
+        this (text) side; re-registered from the path when resuming in a
+        fresh session (the in-memory catalog does not survive restarts,
+        the files + bucket layout do)."""
+        path = os.path.join(docs_dir(stage_name), "documents.parquet")
+        _check_bucket_spec(stage_name)
+        if args.bucket_docs:
+            tbl = f"docs_{stage_name}"
+            if not spark.catalog.tableExists(tbl):
+                spark.sql(
+                    f"CREATE TABLE {tbl} ({DOCS_SCHEMA}) USING parquet "
+                    f"CLUSTERED BY (doc_id) SORTED BY (doc_id) "
+                    f"INTO {args.bucket_docs} BUCKETS LOCATION '{path}'"
+                )
+            return spark.table(tbl)
+        return spark.read.parquet(path)
 
     # 1. EXTRACT — turns with non-empty extracted text become documents;
     # the SAME tokenize pass harvests the link graph (written once here,
@@ -152,7 +221,7 @@ def main() -> None:
         f"{args.output}/links",
     ):
         n_turns = spark.read.parquet(args.input).count()
-        n1 = spark.read.parquet(f"{d1}/documents.parquet").count()
+        n1 = read_docs("extracted").count()
         stage("extract", n_turns, n1, t0, skipped=True)
     else:
         transcripts = spark.read.parquet(args.input)
@@ -186,7 +255,7 @@ def main() -> None:
             F.length("main_text").cast("long").alias("n_chars"),
         )
         d1 = write_docs(docs, "extracted")
-        n1 = spark.read.parquet(f"{d1}/documents.parquet").count()
+        n1 = read_docs("extracted").count()
         stage("extract", n_turns, n1, t0)
 
     # 1b. LINKRANK — per-target link-graph signals over the links the
@@ -218,21 +287,21 @@ def main() -> None:
     t0 = time.time()
     d2 = docs_dir("quality")
     if committed(f"{d2}/documents.parquet"):
-        n2 = spark.read.parquet(f"{d2}/documents.parquet").count()
+        n2 = read_docs("quality").count()
         stage("quality", n1, n2, t0, skipped=True)
     else:
         q = textstats.filter_quality(
-            spark.read.parquet(f"{d1}/documents.parquet")
+            read_docs("extracted")
         )
         d2 = write_docs(q, "quality")
-        n2 = spark.read.parquet(f"{d2}/documents.parquet").count()
+        n2 = read_docs("quality").count()
         stage("quality", n1, n2, t0)
 
     # 3. DEDUP — exact + verified near-dup clusters, keep representatives
     t0 = time.time()
     d3 = docs_dir("deduped")
     if committed(f"{d3}/documents.parquet", f"{args.output}/clusters"):
-        n3 = spark.read.parquet(f"{d3}/documents.parquet").count()
+        n3 = read_docs("deduped").count()
         stage("dedup", n2, n3, t0, skipped=True)
     else:
         clusters = dedup_cluster_keep_list(
@@ -241,7 +310,7 @@ def main() -> None:
         ).persist()
         clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
         keepers = clusters.filter(F.col("is_keeper") == 1).select("doc_id")
-        deduped = spark.read.parquet(f"{d2}/documents.parquet").join(
+        deduped = read_docs("quality").join(
             keepers, "doc_id", "left_semi"
         )
         d3 = write_docs(deduped, "deduped")
@@ -251,7 +320,7 @@ def main() -> None:
         # is wanted past this boundary, so drop it all rather than carry
         # executor storage into the text-scanning stages that follow
         spark.catalog.clearCache()
-        n3 = spark.read.parquet(f"{d3}/documents.parquet").count()
+        n3 = read_docs("deduped").count()
         stage("dedup", n2, n3, t0)
 
     # 4. DECONTAM — drop training docs sharing 8-grams with the eval
@@ -261,14 +330,14 @@ def main() -> None:
     t0 = time.time()
     d4 = docs_dir("clean")
     if committed(f"{d4}/documents.parquet", f"{args.output}/heldout"):
-        n4 = spark.read.parquet(f"{d4}/documents.parquet").count()
+        n4 = read_docs("clean").count()
         stage("decontaminate", n3, n4, t0, skipped=True)
     else:
         contaminated = decontaminate(
             spark, d3, eval_modulus=args.eval_modulus,
             gram_width=args.gram_width,
         ).select("doc_id")
-        d3_docs = spark.read.parquet(f"{d3}/documents.parquet")
+        d3_docs = read_docs("deduped")
         is_eval = F.col("doc_id") % args.eval_modulus == 0
         d3_docs.filter(is_eval).write.mode("overwrite").parquet(
             f"{args.output}/heldout"
@@ -277,7 +346,7 @@ def main() -> None:
             contaminated, "doc_id", "left_anti"
         )
         d4 = write_docs(clean, "clean")
-        n4 = spark.read.parquet(f"{d4}/documents.parquet").count()
+        n4 = read_docs("clean").count()
         stage("decontaminate", n3, n4, t0)
 
     # 5. SPLIT — deterministic assignment, written alongside the corpus
@@ -289,7 +358,7 @@ def main() -> None:
     else:
         splits = sampling.corpus_splits(spark, d4)
         splits.write.mode("overwrite").parquet(f"{args.output}/splits")
-        spark.read.parquet(f"{d4}/documents.parquet").write.mode(
+        read_docs("clean").write.mode(
             "overwrite"
         ).parquet(f"{args.output}/documents")
         splits = spark.read.parquet(f"{args.output}/splits")
@@ -310,7 +379,7 @@ def main() -> None:
         stage("pack", n_train, n_seq, t0, skipped=True)
     else:
         train_dir = docs_dir("train")
-        spark.read.parquet(f"{d4}/documents.parquet").join(
+        read_docs("clean").join(
             splits.filter(F.col("split") == "train").select("doc_id"),
             "doc_id",
             "left_semi",
