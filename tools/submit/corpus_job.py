@@ -95,7 +95,13 @@ def main() -> None:
         "side exchange-free forever (only the id side hashes into the "
         "bucket layout).  Stage outputs stay at the same paths and "
         "remain plain-parquet-readable; tables are re-registered from "
-        "the path on --resume.",
+        "the path on --resume.  Sizing: pure-compute scans stay "
+        "file-split parallel (measured: 32 partitions over an 8-bucket "
+        "table), so N sizes the JOIN parallelism — use ~2x cores "
+        "locally, thousands at 10^12 docs.  Cost: bucketed writes emit "
+        "up to tasks x N files per checkpoint (Spark writes per-task "
+        "bucket files); a production deployment compacts via Iceberg "
+        "maintenance, which preserves bucket membership.",
     )
     ap.add_argument(
         "--resume",
