@@ -580,7 +580,15 @@ def near_dup_edges(
     provably identical, which is all cluster resolution consumes).
     Never raw LSH collisions — clustering unverified candidates glues
     false-positive bridges between unrelated groups, and a single bad
-    edge merges two clusters irreversibly."""
+    edge merges two clusters irreversibly.
+
+    The union is NOT deduplicated: min-label propagation is idempotent
+    over duplicate edges (a min over a multiset), the only dups are the
+    MinHash∩SimHash overlap (~1% of the edge set), and a ``distinct``
+    here is a global exchange of the ENTIRE edge set — measured ABAB at
+    sf1.0 (22M edges, isolated JVMs): with distinct 203.6/149.2 s to
+    components, without 146.4/139.8 s, keeper sets identical
+    (BENCH.md round 4)."""
     mh = ngram_jaccard(
         spark, sf_dir, threshold=jaccard_threshold,
         n_hashes=n_hashes, n_bands=n_bands, hash_family=hash_family,
@@ -588,7 +596,7 @@ def near_dup_edges(
     sh = simhash_component_edges(
         spark, sf_dir, max_hamming=max_hamming
     ).select("doc_a", "doc_b")
-    return mh.unionByName(sh).distinct()
+    return mh.unionByName(sh)
 
 
 def dedup_cluster_keep_list(
