@@ -253,29 +253,17 @@ def minhash_band_keys(
     )
 
 
-def minhash_candidates(
-    spark: SparkSession,
-    sf_dir: str,
-    n_hashes: int = N_HASHES,
-    n_bands: int = N_BANDS,
-    hash_family: str = "md5",
-) -> DataFrame:
-    """LSH candidate pairs (doc_a < doc_b) — docs sharing ≥1 band key.
+def _banded_pairs(keys: DataFrame) -> DataFrame:
+    """Banded LSH self-join over a (doc_id, band, band_key) frame →
+    distinct candidate pairs (doc_a < doc_b).
 
     The explicit repartition on the join key makes both self-join sides
     share ONE exchange, so the expensive signature computation
     (normalize + shingle + n_hashes md5-mins per doc) runs once instead
     of once per side — measured 2.0× on sf0.1 (13.2 s → 6.3 s, ABAB);
     without it each side's scan recomputes the signatures."""
-    keys = minhash_band_keys(
-        minhash_signatures(spark, sf_dir, n_hashes, hash_family),
-        n_hashes,
-        n_bands,
-        hash_family,
-    ).repartition(
-        int(
-            spark.conf.get("spark.sql.shuffle.partitions")
-        ),
+    keys = keys.repartition(
+        int(keys.sparkSession.conf.get("spark.sql.shuffle.partitions")),
         "band",
         "band_key",
     )
@@ -292,6 +280,44 @@ def minhash_candidates(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+    )
+
+
+def minhash_candidates_of(
+    docs: DataFrame,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    hash_family: str = "md5",
+) -> DataFrame:
+    """DataFrame-input core of :func:`minhash_candidates`."""
+    return _banded_pairs(
+        minhash_band_keys(
+            minhash_signatures_of(docs, n_hashes, hash_family),
+            n_hashes,
+            n_bands,
+            hash_family,
+        )
+    )
+
+
+def minhash_candidates(
+    spark: SparkSession,
+    sf_dir: str,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    hash_family: str = "md5",
+) -> DataFrame:
+    """LSH candidate pairs (doc_a < doc_b) — docs sharing ≥1 band key.
+
+    NOTE this is the full-pair REPORTING op: a bucket of k docs yields
+    k(k−1)/2 pairs by contract.  Cluster resolution never consumes it —
+    :func:`near_dup_edges` collapses exact-text groups first so pair
+    count stays linear in docs (BENCH.md round 4, sf10 postmortem)."""
+    return minhash_candidates_of(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        n_hashes,
+        n_bands,
+        hash_family,
     )
 
 
@@ -322,21 +348,28 @@ def minhash_candidates_sql(
     """
 
 
-def ngram_jaccard(
-    spark: SparkSession,
-    sf_dir: str,
+def ngram_jaccard_of(
+    docs: DataFrame,
     threshold: float = 0.0,
     n_hashes: int = N_HASHES,
     n_bands: int = N_BANDS,
     hash_family: str = "md5",
 ) -> DataFrame:
-    """Exact shingle-set Jaccard for LSH candidate pairs (verification
-    stage of MinHash dedup).  Only bucket collisions are scored — never
-    the full cross product."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", _shingles().alias("sh")
-    )
-    cand = minhash_candidates(spark, sf_dir, n_hashes, n_bands, hash_family)
+    """DataFrame-input core of :func:`ngram_jaccard` — LSH candidates
+    over ``docs`` (doc_id, text) scored with exact shingle-set Jaccard.
+    Callers that have already collapsed exact-text groups
+    (:func:`near_dup_edges`) pass one representative per distinct text
+    here, so no exact-duplicate clique ever reaches the verify join."""
+    sh_docs = docs.select("doc_id", _shingles().alias("sh"))
+    cand = minhash_candidates_of(docs, n_hashes, n_bands, hash_family)
+    return _jaccard_verify(cand, sh_docs, threshold)
+
+
+def _jaccard_verify(
+    cand: DataFrame, docs: DataFrame, threshold: float
+) -> DataFrame:
+    """Score candidate pairs (doc_a, doc_b) with exact Jaccard over a
+    (doc_id, sh) shingle frame; keep pairs at/above ``threshold``."""
     j = (
         cand.join(docs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
         .join(docs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
@@ -361,6 +394,31 @@ def ngram_jaccard(
     )
     return j.filter(F.col("jaccard_bp") >= threshold * 10000).select(
         "doc_a", "doc_b", "jaccard_bp"
+    )
+
+
+def ngram_jaccard(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.0,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    hash_family: str = "md5",
+) -> DataFrame:
+    """Exact shingle-set Jaccard for LSH candidate pairs (verification
+    stage of MinHash dedup).  Only bucket collisions are scored — never
+    the full cross product.
+
+    Like :func:`minhash_candidates` this is the full-pair REPORTING op
+    (a k-doc exact-dup group contributes k(k−1)/2 scored pairs by
+    contract); cluster resolution goes through :func:`near_dup_edges`,
+    which collapses exact-text groups before LSH."""
+    return ngram_jaccard_of(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        threshold,
+        n_hashes,
+        n_bands,
+        hash_family,
     )
 
 
@@ -588,15 +646,46 @@ def near_dup_edges(
     here is a global exchange of the ENTIRE edge set — measured ABAB at
     sf1.0 (22M edges, isolated JVMs): with distinct 203.6/149.2 s to
     components, without 146.4/139.8 s, keeper sets identical
-    (BENCH.md round 4)."""
-    mh = ngram_jaccard(
-        spark, sf_dir, threshold=jaccard_threshold,
+    (BENCH.md round 4).
+
+    Exact-text collapse (the sf10 postmortem fix, BENCH.md round 4):
+    exact-duplicate groups share every band key, so running LSH+verify
+    over all docs emits the FULL k(k−1)/2 clique per k-doc group —
+    edge count grows quadratically in duplicate-group size (22M edges
+    at sf1.0, disk-full at sf10).  Instead, docs are grouped on
+    md5(normalized text) first; each group contributes a STAR to its
+    min-doc_id representative (Jaccard 1.0 and Hamming 0 by definition
+    — no verification needed), and LSH+verify runs over ONE
+    representative per distinct text.  Components are provably
+    identical: shingles and Jaccard are functions of the normalized
+    text, so a verified edge (d, e) exists in the full formulation iff
+    (rep(d), rep(e)) is verified here, and stars keep each exact group
+    connected.  Edge count drops from O(Σ k²) to O(docs + verified
+    distinct-text pairs)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select("doc_id", F.md5(_norm()).alias("th"))
+    groups = ids.groupBy("th").agg(F.min("doc_id").alias("rep"))
+    stars = (
+        ids.join(groups, "th")
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    # one representative text per distinct normalized text — min_by keeps
+    # the frame deterministic; the map-side partial agg means raw text
+    # crosses the exchange once per distinct text per input partition,
+    # never once per doc
+    reps = docs.groupBy(F.md5(_norm()).alias("th")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.expr("min_by(text, doc_id)").alias("text"),
+    ).select("doc_id", "text")
+    mh = ngram_jaccard_of(
+        reps, threshold=jaccard_threshold,
         n_hashes=n_hashes, n_bands=n_bands, hash_family=hash_family,
     ).select("doc_a", "doc_b")
     sh = simhash_component_edges(
         spark, sf_dir, max_hamming=max_hamming
     ).select("doc_a", "doc_b")
-    return mh.unionByName(sh)
+    return stars.unionByName(mh).unionByName(sh)
 
 
 def dedup_cluster_keep_list(
@@ -873,49 +962,116 @@ def simhash_near_dups(
     )
 
 
-def simhash_component_edges(
-    spark: SparkSession, sf_dir: str, max_hamming: int = 3, n_blocks: int = 6
+def _sketch_components(
+    nodes: DataFrame, max_hamming: int, n_blocks: int, max_iter: int = 25
 ) -> DataFrame:
-    """Component-EQUIVALENT simhash edge set for cluster resolution,
-    collapsed on sketch value: docs sharing a sketch attach to the
-    group's min-doc_id representative by a STAR (k−1 edges, not the
-    k(k−1)/2 clique — identical sketches are hamming-0 neighbors by
-    definition), and cross-sketch edges connect representatives of
-    sketch-value pairs within ``max_hamming``.
+    """Connected components of the DISTINCT-sketch graph (vertices =
+    sh64 values, edges = pairs within ``max_hamming`` bits) WITHOUT
+    ever materializing the pair set: each min-label-propagation round
+    re-derives neighbor labels through the pigeonhole bucket self-join
+    and streams them straight into a map-side-combinable
+    min-aggregation, so the (superlinear — 21.7M at sf1.0, ~22× per
+    10×, BENCH.md sf10 postmortem) pair stream lives only inside the
+    stage pipeline and the per-round shuffle stays O(distinct sketches
+    × C(n_blocks, n_blocks−h) keys).  Path halving + localCheckpoint
+    per round as in :func:`connected_components` (labels are sh64
+    values, so the parent lookup always hits).  Returns ``(sh64,
+    comp)`` with ``comp`` = the component's minimum sh64."""
+    n_part = int(nodes.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    keys = F.array(*_pigeonhole_keys(n_blocks, max_hamming))
+    ham = F.bit_count(F.col("a.sh64").bitwiseXOR(F.col("b.sh64")))
+    labels = nodes.select(
+        "sh64", F.col("sh64").alias("comp")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        keyed = labels.select(
+            "sh64", "comp", F.explode(keys).alias("k")
+        ).repartition(n_part, "k")
+        neigh = (
+            keyed.alias("a")
+            .join(keyed.alias("b"), F.col("a.k") == F.col("b.k"))
+            .filter((ham >= 1) & (ham <= max_hamming))
+            .select(F.col("a.sh64").alias("sh64"), F.col("b.comp").alias("comp"))
+        )
+        merged = (
+            labels.unionByName(neigh)
+            .groupBy("sh64")
+            .agg(F.min("comp").alias("comp"))
+        )
+        parent = merged.select(
+            F.col("sh64").alias("p_id"), F.col("comp").alias("p_comp")
+        )
+        new_labels = (
+            merged.join(parent, merged["comp"] == parent["p_id"])
+            .select("sh64", F.least("comp", "p_comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), "sh64")
+            .filter(F.col("o.comp") != F.col("n.comp"))
+            .count()
+        )
+        free_local_checkpoint(labels)
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"sketch label propagation did not converge in {max_iter} rounds"
+    )
 
-    Connected components over this graph equal components over the full
-    :func:`simhash_near_dups` pair set: stars keep every group
-    connected, and a full-graph edge (x, y) exists iff hamming of their
-    sketches ≤ h, which is exactly when the rep edge (rep(x), rep(y))
-    exists here.  The collapse is what survives template-heavy corpora
-    — measured on a 92,820-doc extracted corpus: 6.10M full pairs →
-    962k star+rep edges, and the bucket join runs over 87k distinct
-    sketches instead of 92k docs."""
+
+def simhash_component_edges(
+    spark: SparkSession,
+    sf_dir: str,
+    max_hamming: int = 3,
+    n_blocks: int = 6,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Component-EQUIVALENT simhash edge set for cluster resolution:
+    O(docs) stars, never pair cliques.  Two collapses compose:
+
+    1. docs sharing a sketch attach to the group's min-doc_id
+       representative by a STAR (identical sketches are hamming-0
+       neighbors by definition);
+    2. sketch-value components within ``max_hamming`` are resolved by
+       STREAMING label propagation (:func:`_sketch_components` — the
+       pair set is never materialized; the earlier rep-EDGE
+       formulation emitted one row per close sketch pair, which went
+       superlinear on template-dense corpora: 0.96M at sf0.1 → 21.7M
+       at sf1.0 → disk-full at sf10), and each group representative
+       attaches to its sketch-component's min-doc_id by a second star.
+
+    Connected components over stars(1) ∪ stars(2) equal components
+    over the full :func:`simhash_near_dups` pair set: a full-graph
+    edge (x, y) exists iff their sketches are within ``max_hamming``,
+    which is exactly when rep(x) and rep(y) share a sketch component —
+    and both are then starred to the same component representative.
+    Every edge here links docs whose sketches are connected through
+    verified ≤``max_hamming`` hops, so no false merges are added."""
     sk = _swap_persist("component_edges_sk", simhash_sketches(spark, sf_dir).select(
         "doc_id", _sh64().alias("sh64")
     ))
-    groups = sk.groupBy("sh64").agg(F.min("doc_id").alias("rep"))
+    groups = _swap_persist(
+        "component_edges_groups",
+        sk.groupBy("sh64").agg(F.min("doc_id").alias("rep")),
+    )
     stars = (
         sk.join(groups, "sh64")
         .filter(F.col("doc_id") != F.col("rep"))
         .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     )
-    pairs = _sketch_pairs(groups.select("sh64"), max_hamming, n_blocks)
-    rep_edges = (
-        pairs.join(
-            groups.withColumnRenamed("rep", "ra"), pairs["sa"] == groups["sh64"]
-        )
-        .drop("sh64")
-        .join(
-            groups.withColumnRenamed("rep", "rb").withColumnRenamed("sh64", "shb"),
-            F.col("sb") == F.col("shb"),
-        )
-        .select(
-            F.least("ra", "rb").alias("doc_a"),
-            F.greatest("ra", "rb").alias("doc_b"),
-        )
+    comp = _sketch_components(
+        groups.select("sh64"), max_hamming, n_blocks, max_iter
     )
-    return stars.unionByName(rep_edges).distinct()
+    labeled = comp.join(groups, "sh64")
+    comp_rep = labeled.groupBy("comp").agg(F.min("rep").alias("comp_rep"))
+    rep_stars = (
+        labeled.join(comp_rep, "comp")
+        .filter(F.col("rep") != F.col("comp_rep"))
+        .select(F.col("comp_rep").alias("doc_a"), F.col("rep").alias("doc_b"))
+    )
+    return stars.unionByName(rep_stars)
 
 
 def _word_ngrams(width: int):

@@ -37,7 +37,7 @@ def main() -> None:
 
     from html_parser_spark.operators.dedup import (
         connected_components,
-        ngram_jaccard,
+        near_dup_edges,
         simhash_component_edges,
     )
     from html_parser_spark.plans.session import get_spark
@@ -55,17 +55,26 @@ def main() -> None:
     d = args.docs_dir
     step("warm_scan", lambda: spark.read.parquet(f"{d}/documents.parquet").count())
 
-    mh = ngram_jaccard(
-        spark, d, n_hashes=args.n_hashes, n_bands=args.n_bands,
-        hash_family=args.hash_family,
-    ).select("doc_a", "doc_b")
-    step("minhash_jaccard_edges", mh.count)
+    # construction is NOT lazy here — simhash_component_edges runs its
+    # streaming label-propagation rounds (localCheckpoint + count per
+    # round) at call time, so build INSIDE the timed step
+    def _simhash_edges():
+        return simhash_component_edges(spark, d).count()
 
-    sh = simhash_component_edges(spark, d).select("doc_a", "doc_b")
-    step("simhash_component_edges", sh.count)
+    step("simhash_component_edges", _simhash_edges)
 
-    edges = mh.unionByName(sh).distinct()
-    step("edge_union_distinct", edges.count)
+    edges_box: list = []
+
+    def _all_edges():
+        e = near_dup_edges(
+            spark, d, jaccard_threshold=0.5, n_hashes=args.n_hashes,
+            n_bands=args.n_bands, hash_family=args.hash_family,
+        ).persist()
+        edges_box.append(e)
+        return e.count()
+
+    step("near_dup_edges_total", _all_edges)
+    edges = edges_box[0]
 
     docs = spark.read.parquet(f"{d}/documents.parquet").select("doc_id")
     cc = connected_components(docs, edges, 25)
