@@ -545,7 +545,18 @@ def simhash_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id → 64-bit SimHash sketch (hex).  Near-dup scan pairs docs
     whose sketches differ in ≤3 bits; at scale, bucket on 16-bit sketch
     quarters (pigeonhole: any ≤3-bit-different pair shares a quarter)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_sketches_of(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
+def simhash_sketches_of(docs: DataFrame) -> DataFrame:
+    """DataFrame-input core of :func:`simhash_sketches`.  The sketch is
+    a function of ``ascii_words(text.lower())`` word counts, which is
+    invariant under the exact-dedup normalization (``_norm`` collapses
+    the SAME whitespace class ``ascii_words`` splits on), so callers
+    holding one representative per distinct normalized text
+    (:func:`near_dup_edges`) get every group's sketch from its rep."""
     return docs.select("doc_id", _simhash_udf(F.col("text")).alias("simhash"))
 
 
@@ -673,17 +684,25 @@ def near_dup_edges(
     # one representative text per distinct normalized text — min_by keeps
     # the frame deterministic; the map-side partial agg means raw text
     # crosses the exchange once per distinct text per input partition,
-    # never once per doc
-    reps = docs.groupBy(F.md5(_norm()).alias("th")).agg(
-        F.min("doc_id").alias("doc_id"),
-        F.expr("min_by(text, doc_id)").alias("text"),
-    ).select("doc_id", "text")
+    # never once per doc.  BOTH expensive per-text computations (MinHash
+    # signatures AND the SimHash sketch UDF) run over this frame: the
+    # sketch is a function of the same whitespace-normalized word
+    # sequence the group key hashes (simhash_sketches_of docstring), so
+    # sketching a group's rep sketches the whole group.
+    reps = _swap_persist(
+        "near_dup_reps",
+        docs.groupBy(F.md5(_norm()).alias("th")).agg(
+            F.min("doc_id").alias("doc_id"),
+            F.expr("min_by(text, doc_id)").alias("text"),
+        ).select("doc_id", "text"),
+    )
     mh = ngram_jaccard_of(
         reps, threshold=jaccard_threshold,
         n_hashes=n_hashes, n_bands=n_bands, hash_family=hash_family,
     ).select("doc_a", "doc_b")
-    sh = simhash_component_edges(
-        spark, sf_dir, max_hamming=max_hamming
+    sh = simhash_component_edges_of(
+        simhash_sketches_of(reps).select("doc_id", _sh64().alias("sh64")),
+        max_hamming=max_hamming,
     ).select("doc_a", "doc_b")
     return stars.unionByName(mh).unionByName(sh)
 
@@ -1049,9 +1068,25 @@ def simhash_component_edges(
     and both are then starred to the same component representative.
     Every edge here links docs whose sketches are connected through
     verified ≤``max_hamming`` hops, so no false merges are added."""
-    sk = _swap_persist("component_edges_sk", simhash_sketches(spark, sf_dir).select(
-        "doc_id", _sh64().alias("sh64")
-    ))
+    return simhash_component_edges_of(
+        simhash_sketches(spark, sf_dir).select("doc_id", _sh64().alias("sh64")),
+        max_hamming,
+        n_blocks,
+        max_iter,
+    )
+
+
+def simhash_component_edges_of(
+    sk: DataFrame,
+    max_hamming: int = 3,
+    n_blocks: int = 6,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Core of :func:`simhash_component_edges` over a ``(doc_id, sh64)``
+    frame — :func:`near_dup_edges` feeds it sketches of one
+    representative per distinct normalized text, so the Python sketch
+    UDF runs once per distinct text, not once per doc."""
+    sk = _swap_persist("component_edges_sk", sk)
     groups = _swap_persist(
         "component_edges_groups",
         sk.groupBy("sh64").agg(F.min("doc_id").alias("rep")),
