@@ -71,6 +71,14 @@ def get_spark(
         # 128 MB parquet split target — same figure the shuffle-partition
         # formula uses, so scan and shuffle parallelism stay aligned
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # compress serialized RDD blocks (persist/localCheckpoint spill):
+        # Spark writes block-store disk RAW by default, and the dedup
+        # stage's persisted rep frames + per-round LP checkpoints carry
+        # document text — measured ~4-6x on text for negligible CPU next
+        # to the UDF stages; the difference between the sf10 corpus job
+        # fitting the sandbox disk (~37 GB peak scratch) and disk-full
+        # (>56 GB), BENCH.md round 4 fifth decade
+        .config("spark.rdd.compress", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
