@@ -134,3 +134,15 @@ def swap_persist(key: str, df):
     p = df.persist()
     _RESIDENT[key] = p
     return p
+
+
+def clear_residents() -> None:
+    """Unpersist every :func:`swap_persist` resident now.  Stage/step
+    boundaries that are done with the operators' cached intermediates
+    (the corpus job after DEDUP, the profiler between steps) call this
+    so the blocks don't ride executor storage into unrelated work."""
+    for key in list(_RESIDENT):
+        try:
+            _RESIDENT.pop(key).unpersist()
+        except Exception:
+            pass

@@ -31,7 +31,16 @@ def main() -> None:
     ap.add_argument("--n-hashes", type=int, default=128)
     ap.add_argument("--n-bands", type=int, default=16)
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--steps",
+        default="simhash,edges,cc,keeper",
+        help="comma-list of steps to run (simhash,edges,cc,keeper).  "
+        "cc/keeper need edges in the same run; the standalone simhash "
+        "step is independent attribution and is the one to drop when "
+        "re-running after a failure (its wall is in the earlier log).",
+    )
     args = ap.parse_args()
+    selected = set(args.steps.split(","))
 
     from pyspark.sql import functions as F
 
@@ -40,7 +49,7 @@ def main() -> None:
         near_dup_edges,
         simhash_component_edges,
     )
-    from html_parser_spark.plans.session import get_spark
+    from html_parser_spark.plans.session import clear_residents, get_spark
 
     spark = get_spark(app_name="profile-dedup")
     rows: list[dict] = []
@@ -52,6 +61,21 @@ def main() -> None:
         print(json.dumps(rows[-1]), flush=True)
         return v
 
+    def reclaim() -> None:
+        """Step-boundary scratch reclamation.  Shuffle files live until
+        the ContextCleaner sees their ShuffleDependency get GC'd on the
+        driver, and a big driver heap may not GC for the whole run — at
+        sf10 the standalone simhash step left ~65 GB of dead shuffle
+        scratch under the next step (disk-full, round 4).  Dropping the
+        operator-resident cached frames and forcing one driver-JVM GC
+        lets the cleaner delete dead shuffles/broadcasts now.  The
+        corpus job needs none of this: its dedup stage runs ONE
+        pipeline, then clearCache() at the stage boundary."""
+        clear_residents()
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(5)
+
     d = args.docs_dir
     step("warm_scan", lambda: spark.read.parquet(f"{d}/documents.parquet").count())
 
@@ -61,35 +85,44 @@ def main() -> None:
     def _simhash_edges():
         return simhash_component_edges(spark, d).count()
 
-    step("simhash_component_edges", _simhash_edges)
+    if "simhash" in selected:
+        step("simhash_component_edges", _simhash_edges)
+        reclaim()
 
-    edges_box: list = []
+    if "edges" in selected:
+        edges_box: list = []
 
-    def _all_edges():
-        e = near_dup_edges(
-            spark, d, jaccard_threshold=0.5, n_hashes=args.n_hashes,
-            n_bands=args.n_bands, hash_family=args.hash_family,
-        ).persist()
-        edges_box.append(e)
-        return e.count()
+        def _all_edges():
+            e = near_dup_edges(
+                spark, d, jaccard_threshold=0.5, n_hashes=args.n_hashes,
+                n_bands=args.n_bands, hash_family=args.hash_family,
+            ).persist()
+            edges_box.append(e)
+            return e.count()
 
-    step("near_dup_edges_total", _all_edges)
-    edges = edges_box[0]
+        step("near_dup_edges_total", _all_edges)
+        edges = edges_box[0]
 
-    docs = spark.read.parquet(f"{d}/documents.parquet").select("doc_id")
-    cc = connected_components(docs, edges, 25)
-    cc = cc.persist()
-    step("connected_components", cc.count)
+    if "cc" in selected:
+        docs = spark.read.parquet(f"{d}/documents.parquet").select("doc_id")
+        cc = connected_components(docs, edges, 25)
+        cc = cc.persist()
+        step("connected_components", cc.count)
+        edges.unpersist()
+        reclaim()
 
-    keepers = cc.filter(F.col("is_keeper") == 1).select("doc_id")
-    deduped = spark.read.parquet(f"{d}/documents.parquet").join(
-        keepers, "doc_id", "left_semi"
-    )
-    step(
-        "keeper_semijoin_write",
-        lambda: deduped.write.mode("overwrite").parquet("/tmp/profile_dedup_out")
-        or spark.read.parquet("/tmp/profile_dedup_out").count(),
-    )
+    if "keeper" in selected:
+        keepers = cc.filter(F.col("is_keeper") == 1).select("doc_id")
+        deduped = spark.read.parquet(f"{d}/documents.parquet").join(
+            keepers, "doc_id", "left_semi"
+        )
+        step(
+            "keeper_semijoin_write",
+            lambda: deduped.write.mode("overwrite").parquet(
+                "/tmp/profile_dedup_out"
+            )
+            or spark.read.parquet("/tmp/profile_dedup_out").count(),
+        )
 
     total = round(sum(r["wall_sec"] for r in rows[1:]), 2)
     print(json.dumps({"total_sec": total, "steps": rows}))
