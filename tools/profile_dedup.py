@@ -34,7 +34,8 @@ def main() -> None:
     ap.add_argument(
         "--steps",
         default="simhash,edges,cc,keeper",
-        help="comma-list of steps to run (simhash,edges,cc,keeper).  "
+        help="comma-list of steps to run (simhash,edges,cc,keeper,fine; "
+        "'fine' times near_dup_edges' internals incrementally).  "
         "cc/keeper need edges in the same run; the standalone simhash "
         "step is independent attribution and is the one to drop when "
         "re-running after a failure (its wall is in the earlier log).",
@@ -90,6 +91,61 @@ def main() -> None:
 
     d = args.docs_dir
     step("warm_scan", lambda: spark.read.parquet(f"{d}/documents.parquet").count())
+
+    if "fine" in selected:
+        # fine-grained attribution INSIDE near_dup_edges: each sub-frame
+        # is persisted before the next step times on top of it, so the
+        # walls are incremental (reps_build pays the text shuffle once,
+        # minhash_candidates pays signatures+band join but not reps,
+        # jaccard_verify pays only the collision re-score, sketch_udf
+        # pays the pandas UDF, sketch_lp_edges pays label propagation)
+        from html_parser_spark.operators.dedup import (
+            _jaccard_verify,
+            _norm,
+            _sh64,
+            _shingles,
+            minhash_candidates_of,
+            simhash_component_edges_of,
+            simhash_sketches_of,
+        )
+        from pyspark.sql import functions as FF
+
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        ids = docs.select("doc_id", FF.md5(_norm()).alias("th"))
+        groups = ids.groupBy("th").agg(FF.min("doc_id").alias("rep"))
+        stars = (
+            ids.join(groups, "th")
+            .filter(FF.col("doc_id") != FF.col("rep"))
+            .select(
+                FF.col("rep").alias("doc_a"), FF.col("doc_id").alias("doc_b")
+            )
+        )
+        step("fine_exact_stars", stars.count)
+        reps = docs.groupBy(FF.md5(_norm()).alias("th")).agg(
+            FF.min("doc_id").alias("doc_id"),
+            FF.expr("min_by(text, doc_id)").alias("text"),
+        ).select("doc_id", "text").persist()
+        step("fine_reps_build", reps.count)
+        cand = minhash_candidates_of(
+            reps, args.n_hashes, args.n_bands, args.hash_family
+        ).persist()
+        step("fine_minhash_candidates", cand.count)
+        sh_reps = reps.select("doc_id", _shingles().alias("sh"))
+        step(
+            "fine_jaccard_verify",
+            lambda: _jaccard_verify(cand, sh_reps, 0.5).count(),
+        )
+        sk = simhash_sketches_of(reps).select(
+            "doc_id", _sh64().alias("sh64")
+        ).persist()
+        step("fine_sketch_udf", sk.count)
+        step(
+            "fine_sketch_lp_edges",
+            lambda: simhash_component_edges_of(sk).count(),
+        )
+        for f in (reps, cand, sk):
+            f.unpersist()
+        reclaim()
 
     # construction is NOT lazy here — simhash_component_edges runs its
     # streaming label-propagation rounds (localCheckpoint + count per
