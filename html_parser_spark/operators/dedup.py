@@ -359,9 +359,34 @@ def ngram_jaccard_of(
     over ``docs`` (doc_id, text) scored with exact shingle-set Jaccard.
     Callers that have already collapsed exact-text groups
     (:func:`near_dup_edges`) pass one representative per distinct text
-    here, so no exact-duplicate clique ever reaches the verify join."""
-    sh_docs = docs.select("doc_id", _shingles().alias("sh"))
-    cand = minhash_candidates_of(docs, n_hashes, n_bands, hash_family)
+    here, so no exact-duplicate clique ever reaches the verify join.
+
+    The verify stage only ever touches docs that appear in some
+    candidate pair: the candidate frame is persisted (ids-only, tiny —
+    it is read once for the member-id set and once by the verify join)
+    and the shingle frame is built over a broadcast semi-join of
+    ``docs`` against those member ids, so verify-stage shuffle volume
+    is O(candidate members), never O(corpus).  Measured at sf1.0
+    (927k docs, post-collapse candidates = 0): the verify stage's
+    full-corpus shingle build + join was 23.5 s for zero output
+    (BENCH.md round 4 fine attribution); the incremental-ingest job
+    has used the same shrink-before-shingle shape since round 4.
+    Member count is bounded by 2·|candidates|; at the scale where
+    candidate members outgrow broadcast, the id join falls back to the
+    doc_id-bucketed checkpoint form (``tools/submit/corpus_job.py
+    --bucket-docs``) like every other id-vs-text join."""
+    cand = _swap_persist(
+        "ngram_jaccard_cand",
+        minhash_candidates_of(docs, n_hashes, n_bands, hash_family),
+    )
+    members = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_docs = docs.join(F.broadcast(members), "doc_id", "left_semi").select(
+        "doc_id", _shingles().alias("sh")
+    )
     return _jaccard_verify(cand, sh_docs, threshold)
 
 

@@ -130,7 +130,17 @@ def main() -> None:
             reps, args.n_hashes, args.n_bands, args.hash_family
         ).persist()
         step("fine_minhash_candidates", cand.count)
-        sh_reps = reps.select("doc_id", _shingles().alias("sh"))
+        # mirror ngram_jaccard_of's verify tail: shingles only over docs
+        # that appear in some candidate pair (broadcast semi-join), so
+        # the step times what the operator actually pays
+        members = (
+            cand.select(FF.col("doc_a").alias("doc_id"))
+            .unionByName(cand.select(FF.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        sh_reps = reps.join(
+            FF.broadcast(members), "doc_id", "left_semi"
+        ).select("doc_id", _shingles().alias("sh"))
         step(
             "fine_jaccard_verify",
             lambda: _jaccard_verify(cand, sh_reps, 0.5).count(),
