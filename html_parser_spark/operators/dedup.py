@@ -49,6 +49,13 @@ N_BANDS = 16
 GATE_N_HASHES = 8
 GATE_N_BANDS = 4
 
+# Upper bound on candidate-member ids eligible for a broadcast
+# semi-join build side (ngram_jaccard_of).  50M int64 ids ≈ 400 MB
+# pre-serialization — comfortably under the 8 GB broadcast hard cap
+# with headroom for the hashed-relation overhead; past it the verify
+# semi-join degrades to a shuffled join rather than failing (ADVICE r4).
+BROADCAST_MEMBER_LIMIT = 50_000_000
+
 
 # seeded Carter-Wegman coefficients for the "fast" MinHash family
 # (deterministic across runs/executors; ODD multipliers so a_k·x+b_k
@@ -371,10 +378,13 @@ def ngram_jaccard_of(
     full-corpus shingle build + join was 23.5 s for zero output
     (BENCH.md round 4 fine attribution); the incremental-ingest job
     has used the same shrink-before-shingle shape since round 4.
-    Member count is bounded by 2·|candidates|; at the scale where
-    candidate members outgrow broadcast, the id join falls back to the
-    doc_id-bucketed checkpoint form (``tools/submit/corpus_job.py
-    --bucket-docs``) like every other id-vs-text join."""
+    Member count is bounded by 2·|candidates|; the broadcast hint is
+    GATED on that bound (the persisted candidate frame is counted —
+    free, verify materializes it anyway): past
+    ``BROADCAST_MEMBER_LIMIT`` ids the semi-join degrades to a shuffled
+    hash join on doc_id instead of blowing the driver broadcast cap
+    (ADVICE r4), the same degradation class as ``corpus_job.py
+    --bucket-docs``'s checkpointed form."""
     cand = _swap_persist(
         "ngram_jaccard_cand",
         minhash_candidates_of(docs, n_hashes, n_bands, hash_family),
@@ -384,7 +394,9 @@ def ngram_jaccard_of(
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh_docs = docs.join(F.broadcast(members), "doc_id", "left_semi").select(
+    if 2 * cand.count() <= BROADCAST_MEMBER_LIMIT:
+        members = F.broadcast(members)
+    sh_docs = docs.join(members, "doc_id", "left_semi").select(
         "doc_id", _shingles().alias("sh")
     )
     return _jaccard_verify(cand, sh_docs, threshold)

@@ -51,6 +51,19 @@ def main() -> None:
     )
     args = ap.parse_args()
     selected = set(args.steps.split(","))
+    _KNOWN_STEPS = {"simhash", "edges", "cc", "keeper", "fine"}
+    unknown = selected - _KNOWN_STEPS
+    if unknown:
+        ap.error(
+            f"unknown step(s) {sorted(unknown)}; valid: {sorted(_KNOWN_STEPS)}"
+        )
+    # step dependencies: cc consumes the persisted edges frame, keeper
+    # consumes cc's labels — selecting a dependent without its producer
+    # used to NameError mid-run (ADVICE r4); fail before the session spins up
+    if "cc" in selected and "edges" not in selected:
+        ap.error("--steps cc requires edges in the same run")
+    if "keeper" in selected and "cc" not in selected:
+        ap.error("--steps keeper requires cc (and edges) in the same run")
 
     from pyspark.sql import functions as F
 
@@ -186,8 +199,10 @@ def main() -> None:
         cc = connected_components(docs, edges, 25)
         cc = cc.persist()
         step("connected_components", cc.count)
+        # edges' blocks are dead now, but do NOT clearCache() here:
+        # reclaim() unpersists the still-needed cc frame, silently
+        # charging its recompute to the keeper step's wall (ADVICE r4)
         edges.unpersist()
-        reclaim()
 
     if "keeper" in selected:
         keepers = cc.filter(F.col("is_keeper") == 1).select("doc_id")
@@ -201,6 +216,7 @@ def main() -> None:
             )
             or spark.read.parquet("/tmp/profile_dedup_out").count(),
         )
+        reclaim()
 
     total = round(sum(r["wall_sec"] for r in rows[1:]), 2)
     print(json.dumps({"total_sec": total, "steps": rows}))
