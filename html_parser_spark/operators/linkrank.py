@@ -235,3 +235,163 @@ def link_pagerank(
         F.concat(F.lit("url:"), "href").alias("dst"),
     )
     return pagerank(edges, iterations=iterations)
+
+
+# ----------------------------------------------- fixed-point gate variant
+
+# Total rank mass in fixed-point units.  Integer arithmetic is
+# associative — unlike the float iteration above, the per-round sums are
+# order-independent, so Spark and DuckDB produce bit-identical ranks and
+# the operator can ride the md5 value gate (VERDICT r4 item 4; CLAUDE.md:
+# never ROUND on doubles — so don't: keep the mass integral end to end).
+FP_SCALE = 10**12
+FP_DAMP_NUM = 85
+FP_DAMP_DEN = 100
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    *,
+    iterations: int = 4,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Fixed-point-integer PageRank: the same power iteration and the
+    same physical shape as :func:`pagerank` (edges ⋈ ranks on src,
+    groupBy dst, lazy 1-row dangling aggregate) with all mass carried
+    as int64 units of ``1/FP_SCALE``:
+
+        r'(v) = (15·M div 100) div N
+                + (85 · (S(v) + D div N)) div 100
+
+    where ``M = FP_SCALE``, ``S(v) = Σ_{u→v} r(u) div deg(u)`` and
+    ``D = Σ_{deg(u)=0} r(u)``.  Integer division loses ≤1 unit per
+    term (≤ deg·1e-12 of the mass per round) — the float twin remains
+    the production scorer; this form exists so the gate can verify the
+    ITERATION (joins, dangling redistribution, teleport) exactly.
+    Overflow-safe: every intermediate ≤ 85·M < 2^47.
+    """
+    spark = edges.sparkSession
+    edges = edges.select(
+        F.col(edges.columns[0]).cast("string").alias("src"),
+        F.col(edges.columns[1]).cast("string").alias("dst"),
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return spark.createDataFrame([], "node string, rank_fp long")
+    out_deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).alias("deg")
+    ).localCheckpoint()
+
+    ranks = nodes.select(
+        "node", F.lit(FP_SCALE // n_nodes).cast("long").alias("rank_fp")
+    )
+    teleport = ((FP_SCALE * (FP_DAMP_DEN - FP_DAMP_NUM)) // FP_DAMP_DEN) // n_nodes
+    prev_ckpt = None
+    for i in range(iterations):
+        with_deg = ranks.join(out_deg, ranks["node"] == out_deg["src"], "left")
+        dangling = with_deg.filter(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("rank_fp"), F.lit(0)).cast("long").alias("dangling")
+        )
+        shares = with_deg.filter(F.col("deg").isNotNull()).select(
+            F.col("node").alias("u"),
+            F.expr("rank_fp div deg").alias("share"),
+        )
+        contribs = edges.join(shares, edges["src"] == F.col("u")).select(
+            F.col("dst").alias("node"), F.col("share")
+        )
+        summed = contribs.groupBy("node").agg(F.sum("share").alias("s"))
+        ranks = (
+            nodes.join(summed, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(teleport).cast("long")
+                    + F.expr(
+                        f"({FP_DAMP_NUM} * (coalesce(s, 0L)"
+                        f" + (dangling div {n_nodes}))) div {FP_DAMP_DEN}"
+                    )
+                ).cast("long").alias("rank_fp"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
+            new_ranks = ranks.localCheckpoint()
+            if prev_ckpt is not None:
+                free_local_checkpoint(prev_ckpt)
+            prev_ckpt = new_ranks
+            ranks = new_ranks
+    if iterations > 0:
+        free_local_checkpoint(nodes)
+        free_local_checkpoint(out_deg)
+    return ranks
+
+
+def link_pagerank_fp(
+    spark: SparkSession, sf_dir: str, iterations: int = 4, top_k: int = 100
+) -> DataFrame:
+    """Gate form of :func:`link_pagerank`: fixed-point ranks over the
+    same doc→url bipartite graph, top ``top_k`` by (rank_fp DESC, node
+    ASC) — TakeOrderedAndProject, never a global sort."""
+    links = _links(spark, sf_dir)
+    edges = links.select(
+        F.concat(F.lit("doc:"), "conv_id", F.lit("#"), "turn_idx").alias("src"),
+        F.concat(F.lit("url:"), "href").alias("dst"),
+    )
+    ranks = pagerank_fixed(edges, iterations=iterations)
+    return ranks.orderBy(F.desc("rank_fp"), F.asc("node")).limit(top_k)
+
+
+def link_pagerank_sql(
+    golden_path: str, iterations: int = 4, top_k: int = 100
+) -> str:
+    """DuckDB twin: the identical integer recurrence UNROLLED — one CTE
+    pair (dangling scalar + next ranks) per iteration — over the
+    committed engine-golden link rows, so a Spark-side join/dangling/
+    teleport bug breaks the value hash.  Tie-break mirrors the Spark
+    orderBy exactly (rank_fp DESC, node ASC)."""
+    m, dn, dd = FP_SCALE, FP_DAMP_NUM, FP_DAMP_DEN
+    ctes = [
+        f"links AS (SELECT * FROM read_parquet('{golden_path}'))",
+        (
+            "edges AS (SELECT 'doc:' || conv_id || '#' || turn_idx AS src, "
+            "'url:' || href AS dst FROM links)"
+        ),
+        (
+            "nodes AS (SELECT src AS node FROM edges "
+            "UNION SELECT dst FROM edges)"
+        ),
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+        "p AS (SELECT count(*) AS n FROM nodes)",
+        f"r0 AS (SELECT node, CAST({m} AS BIGINT) // p.n AS rank_fp FROM nodes, p)",
+    ]
+    for i in range(iterations):
+        prev, cur = f"r{i}", f"r{i + 1}"
+        ctes.append(
+            f"d{i} AS (SELECT CAST(coalesce(sum(rank_fp), 0) AS BIGINT) AS dm "
+            f"FROM {prev} LEFT JOIN deg ON {prev}.node = deg.src "
+            "WHERE deg.deg IS NULL)"
+        )
+        ctes.append(
+            f"s{i} AS (SELECT e.dst AS node, "
+            f"CAST(sum({prev}.rank_fp // deg.deg) AS BIGINT) AS s "
+            f"FROM edges e JOIN deg ON e.src = deg.src "
+            f"JOIN {prev} ON {prev}.node = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"{cur} AS (SELECT nodes.node, "
+            f"CAST((({m} * {dd - dn}) // {dd}) // p.n "
+            f"+ ({dn} * (coalesce(s{i}.s, 0) + d{i}.dm // p.n)) // {dd} "
+            f"AS BIGINT) AS rank_fp "
+            f"FROM nodes LEFT JOIN s{i} ON nodes.node = s{i}.node, d{i}, p)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, rank_fp FROM r{iterations} "
+        f"ORDER BY rank_fp DESC, node ASC LIMIT {top_k}"
+    )

@@ -97,11 +97,26 @@ def top_revenue_nations_sql() -> str:
     """
 
 
+# Anti-join filter: the gate corpus gives every customer at least one
+# order, so the bare "no orders at all" form verified a 0-row result —
+# a hash match that can't distinguish a working anti-join from one that
+# returns nothing (VERDICT r4 item 1).  Customers with no HIGH-VALUE
+# order is the same physical plan (filter pushed below the anti-join
+# build side) and is non-degenerate at every gate SF (3 / 30 / 308
+# customers at sf0.001/0.01/0.1, probed against the driver testdata).
+BIG_ORDER_TOTALPRICE = 300_000
+
+
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti join — the same primitive the extraction pipeline's
-    resume path uses for committed-keys filtering."""
+    resume path uses for committed-keys filtering.  Customers that never
+    placed an order above :data:`BIG_ORDER_TOTALPRICE`."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > BIG_ORDER_TOTALPRICE)
+        .select("o_custkey")
+    )
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .groupBy("c_nationkey")
@@ -111,10 +126,12 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def customers_without_orders_sql() -> str:
-    return """
+    return f"""
     SELECT c_nationkey, count(*) AS n_customers
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_totalprice > {BIG_ORDER_TOTALPRICE})
     GROUP BY c_nationkey ORDER BY c_nationkey
     """
 
@@ -230,20 +247,32 @@ def events_monthly_cube_sql() -> str:
     """
 
 
+# Over the whole gate month every user produces every event type, so
+# the unrestricted click-EXCEPT-purchase form verified 0 rows (VERDICT
+# r4 item 1).  Restricting both sides to the first three days keeps the
+# EXCEPT physical plan identical and is non-degenerate at every gate SF
+# (2 / 25 / 297 users at sf0.001/0.01/0.1, probed).
+SETOPS_CUTOFF = "2024-01-04"
+
+
 def event_type_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set operations: users seen in the most common event type but not
-    the least common one (EXCEPT/intersect family)."""
-    ev = _t(spark, sf_dir, "events")
+    """Set operations (EXCEPT family): users who clicked before
+    :data:`SETOPS_CUTOFF` but had not yet purchased by then."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit(SETOPS_CUTOFF).cast("timestamp")
+    )
     a = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
     b = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
     return a.exceptAll(b).orderBy("user_id")
 
 
 def event_type_setops_sql() -> str:
-    return """
-    SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    return f"""
+    SELECT DISTINCT user_id FROM events
+    WHERE event_type = 'click' AND ts < TIMESTAMP '{SETOPS_CUTOFF}'
     EXCEPT
-    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    SELECT DISTINCT user_id FROM events
+    WHERE event_type = 'purchase' AND ts < TIMESTAMP '{SETOPS_CUTOFF}'
     ORDER BY user_id
     """
 

@@ -341,6 +341,58 @@ def lsh_topk_sql(
     """
 
 
+# ------------------------------------------------- planted near-dup pairs
+#
+# The driver testdata embeddings are i.i.d. random — the max pairwise
+# cosine at sf0.01 is 0.513, so ANY near-dup threshold verified an empty
+# result and the gate row was vacuous (VERDICT r4 item 1).  The gate
+# wrapper unions a small deterministic planted set into BOTH engines:
+# every component lives on the k/64 grid (exactly representable in
+# float32 AND in the decimal literals the DuckDB VALUES twin parses), so
+# the cross-engine double math is bit-identical, like the inlined
+# hyperplane/centroid literals the ANN twins already use.
+
+PLANTED_VEC_ID_BASE = 1_000_000_000
+
+
+def planted_near_dup_vectors(
+    n_pairs: int = 8, dim: int = EMB_DIM, seed: int = 20240821
+) -> list[tuple[int, list[float]]]:
+    """2·``n_pairs`` vectors: seeded bases with twins perturbed by ±1/64
+    on three dims (pair cosine ≥ 0.999; cross-pair cosine concentrates
+    near 0 in 64-dim, max ≈ 0.4 — far below any near-dup threshold)."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    rows: list[tuple[int, list[float]]] = []
+    for i in range(n_pairs):
+        base = [rng.randint(-32, 32) / 64 for _ in range(dim)]
+        twin = list(base)
+        for j in rng.sample(range(dim), 3):
+            twin[j] += rng.choice((-1, 1)) / 64
+        rows.append((PLANTED_VEC_ID_BASE + 2 * i, base))
+        rows.append((PLANTED_VEC_ID_BASE + 2 * i + 1, twin))
+    return rows
+
+
+def _planted_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        planted_near_dup_vectors(), "vec_id long, embedding array<float>"
+    )
+
+
+def planted_values_sql() -> str:
+    """DuckDB VALUES rows mirroring :func:`planted_near_dup_vectors`."""
+    rows = ", ".join(
+        f"({vid}, [{', '.join(repr(x) for x in vec)}])"
+        for vid, vec in planted_near_dup_vectors()
+    )
+    return (
+        "SELECT vec_id, CAST(embedding AS FLOAT[]) AS embedding "
+        f"FROM (VALUES {rows}) p(vec_id, embedding)"
+    )
+
+
 def embedding_near_dups(
     spark: SparkSession,
     sf_dir: str,
@@ -349,6 +401,7 @@ def embedding_near_dups(
     band_bits: int = 8,
     seed: int = 4321,
     dim: int = EMB_DIM,
+    include_planted: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above ``threshold``.
 
@@ -363,8 +416,16 @@ def embedding_near_dups(
     10^9+ vectors raise ``band_bits`` (16-20) so band buckets stay small;
     recall vs the exact all-pairs form is asserted on planted-duplicate
     data in tests/test_similarity.py.
+
+    ``include_planted`` unions :func:`planted_near_dup_vectors` into the
+    corpus — the gate wrapper sets it so the driver row verifies real
+    pair values (the raw testdata has no pair above any threshold).
     """
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    if include_planted:
+        emb = emb.unionByName(_planted_df(spark))
     bands = band_signature_udf(n_bands, band_bits, seed, dim)
     # persist the signature frame: without it the physical plan runs
     # the Python band-signature UDF FOUR times — once per self-join
@@ -375,7 +436,10 @@ def embedding_near_dups(
     # (vec_id + n_bands ints per vector) and swap-registered so a
     # session holds one resident copy.
     sig = swap_persist(
-        "embedding_near_dups_sig",
+        # planted-union and raw-corpus callers must not share a slot: the
+        # swap register replaces by key, and a stale cached signature
+        # frame from the other variant would silently change the result
+        f"embedding_near_dups_sig_{int(include_planted)}",
         emb.select("vec_id", bands(F.col("embedding")).alias("bands")),
     )
     cand = sig.select(
@@ -450,7 +514,11 @@ def embedding_near_dups_allpairs(
     )
 
 
-def embedding_near_dups_sql(table: str = "embeddings", threshold: float = 0.9) -> str:
+def embedding_near_dups_sql(
+    table: str = "embeddings",
+    threshold: float = 0.9,
+    include_planted: bool = False,
+) -> str:
     dot = (
         "list_sum(list_transform(list_zip(a.embedding, b.embedding), "
         "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
@@ -462,11 +530,20 @@ def embedding_near_dups_sql(table: str = "embeddings", threshold: float = 0.9) -
             f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
         )
 
+    src = table
+    planted_cte = ""
+    if include_planted:
+        planted_cte = (
+            "WITH emb_u AS (SELECT vec_id, embedding FROM "
+            f"{table} UNION ALL {planted_values_sql()}) "
+        )
+        src = "emb_u"
     return f"""
+    {planted_cte}
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            CAST(floor({dot} / ({norm('a')} * {norm('b')}) * 10000) AS BIGINT)
                AS cosine_bp
-    FROM {table} a JOIN {table} b ON a.vec_id < b.vec_id
+    FROM {src} a JOIN {src} b ON a.vec_id < b.vec_id
     WHERE {dot} / ({norm('a')} * {norm('b')}) >= {threshold}
     """
 
