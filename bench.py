@@ -122,8 +122,11 @@ def main() -> None:
             "extract_dom_turns",  # round-2: tree builder + DOM scoring
             "pdf_page_text",  # round-2: PDF round trip
             "dedup_shared_substrings",  # round-4: substring-level dedup
-            "dedup_minhash_candidates",
-            "dedup_simhash_pairs",
+            # round-5 registry folds: ngram_jaccard subsumes the
+            # candidates row (same pair set + verify); simhash pairs
+            # ride inside the cluster row's component resolution
+            "dedup_ngram_jaccard",
+            "link_pagerank",  # round-5: fixed-point gate PageRank
             "dedup_embedding_cosine",  # round-2: banded-LSH candidates
             "ann_cosine_topk",
             "text_quality_scores",

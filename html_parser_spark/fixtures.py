@@ -444,17 +444,89 @@ def ensure_png_blobs(sf: float, cache_root: str | None = None) -> str:
     return path
 
 
+def _jpeg_reconstruct(coefs: list, w: int, h: int, ch: int) -> bytes:
+    """Independent numpy reconstruction of what a conformant baseline
+    decoder must produce from the quantized coefficient blocks the
+    encoder committed to the stream (round 5).
+
+    The decode CONTRACT — dequant → IDCT → integer samples → color
+    conversion, per the shared sample contract in mediacodecs
+    ("component sample = clamp(round_half_even(IDCT+128))"; RGB from
+    integer YCbCr with round-half-even) — is reimplemented here as
+    numpy matrix algebra, a separate code path from the pure-Python
+    loops in mediacodecs.decode_jpeg.  The generator ASSERTS
+    decode_jpeg(payload) equals this, so a Huffman encode/decode bug
+    (coefficients read back differently than committed), a decoder
+    IDCT/dequant/color bug, or drift between the two implementations
+    fails the seeded build deterministically.  Feeding the committed
+    coefficients rather than re-deriving them from pixels is deliberate:
+    the forward DCT's float rounding sits at exact-.5 boundaries (the
+    DC term is int/64) and is NOT cross-implementation reproducible,
+    while the inverse path's rounding inputs are bounded away from
+    boundaries except on measure-zero float coincidences."""
+    import numpy as np
+
+    from .functions.mediacodecs import _QT, _ZZ  # tables are stream data,
+    # not math — the coder carries them in DQT, so sharing them is the
+    # same class of reuse as reading them back from the bytes
+
+    A = np.array(
+        [
+            [
+                (np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8))
+                * np.cos((2 * x + 1) * u * np.pi / 16)
+                for x in range(8)
+            ]
+            for u in range(8)
+        ]
+    )
+    zz = list(_ZZ)
+    mcux, mcuy = (w + 7) // 8, (h + 7) // 8
+    H8, W8 = mcuy * 8, mcux * 8
+    planes = [np.empty((H8, W8)) for _ in range(ch)]
+    it = iter(coefs)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c in range(ch):
+                block_zz = next(it)
+                qt = np.array(
+                    list(_QT[0 if c == 0 else 1]), dtype=np.float64
+                )
+                dq = np.zeros(64)
+                dq[zz] = np.array(block_zz, dtype=np.float64) * qt[zz]
+                DQ = dq.reshape(8, 8)
+                planes[c][
+                    my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8
+                ] = A.T @ DQ @ A
+    rec = [
+        np.clip(np.rint(p + 128.0), 0, 255)[:h, :w] for p in planes
+    ]
+    if ch == 1:
+        return rec[0].astype(np.uint8).tobytes()
+    Y, Cb, Cr = rec[0], rec[1] - 128.0, rec[2] - 128.0
+    rgb = np.stack(
+        [
+            np.clip(np.rint(Y + 1.402 * Cr), 0, 255),
+            np.clip(np.rint(Y - 0.344136 * Cb - 0.714136 * Cr), 0, 255),
+            np.clip(np.rint(Y + 1.772 * Cb), 0, 255),
+        ],
+        axis=-1,
+    )
+    return rgb.astype(np.uint8).tobytes()
+
+
 def write_media_parquet(sf: float, out_dir: str) -> str:
     """Materialize the mixed-format media blob table at ``sf``:
     (doc_id, payload, exp_format, exp_width, exp_height, exp_channels,
     exp_sample_rate, exp_n_frames, exp_pixel_md5).
 
     Formats: PNG (filter-cycling encoder above), GIF87a-profile frames
-    via a real LZW coder, 24-bit BMP, 16-bit PCM WAV, and a
-    syntactically valid JFIF whose pixels are intentionally NOT
-    decodable (the honest-stub modality — exp pixel hash is NULL).
-    Ground truth is stored next to each blob so the Spark decode can be
-    value-oracled from the bytes alone (operators/multimodal.py).
+    via a real LZW coder, 24-bit BMP, 16-bit PCM WAV, and — since round
+    5 — REAL baseline JPEG (SOF0, grayscale + YCbCr 4:4:4) whose
+    ground-truth pixels come from the independent numpy reconstruction
+    above and are asserted against the pure-Python decoder at build
+    time.  Ground truth is stored next to each blob so the Spark decode
+    can be value-oracled from the bytes alone (operators/multimodal.py).
     """
     import hashlib
 
@@ -462,9 +534,10 @@ def write_media_parquet(sf: float, out_dir: str) -> str:
     import pyarrow.parquet as pq
 
     from .functions.mediacodecs import (
+        decode_jpeg,
         encode_bmp,
         encode_gif,
-        encode_jpeg_fixture,
+        encode_jpeg,
         encode_wav,
     )
 
@@ -521,11 +594,31 @@ def write_media_parquet(sf: float, out_dir: str) -> str:
             pcm = bytes(rng.randrange(256) for _ in range(nf * ch * 2))
             add(i, fmt, encode_wav(pcm, ch, sr), None, None, ch, sr, nf,
                 md5(pcm))
-        else:  # jpeg: header-parsable, pixels honestly undecodable
-            w, h = rng.randint(4, 500), rng.randint(4, 500)
-            entropy = bytes(rng.randrange(256) for _ in range(rng.randint(40, 300)))
-            add(i, fmt, encode_jpeg_fixture(w, h, entropy), w, h, 3, None,
-                None, None)
+        else:  # jpeg: REAL baseline stream since round 5 — dims kept
+            # ≤64 so the pure-Python block coder stays fast; 1/4
+            # grayscale to exercise the single-component scan.  Ground
+            # truth = the independent numpy reconstruction of the
+            # committed coefficients, asserted against the pure-Python
+            # decoder HERE so any coder drift fails the seeded build.
+            w, h = rng.randint(4, 64), rng.randint(4, 64)
+            ch = 1 if rng.random() < 0.25 else 3
+            if rng.random() < 0.5:
+                raw = bytes(rng.randrange(256) for _ in range(w * h * ch))
+            else:  # smooth ramps: low-frequency blocks, long zero runs
+                x0, y0 = rng.randrange(64), rng.randrange(64)
+                raw = bytes(
+                    ((x0 + x) * 3 + (y0 + y) * 5 + c * 40) % 256
+                    for y in range(h)
+                    for x in range(w)
+                    for c in range(ch)
+                )
+            payload, coefs = encode_jpeg(raw, w, h, ch, return_coefs=True)
+            exp = _jpeg_reconstruct(coefs, w, h, ch)
+            got = decode_jpeg(payload)
+            assert got == (w, h, ch, exp), (
+                f"JPEG coder drift at doc {i} ({w}x{h}x{ch})"
+            )
+            add(i, fmt, payload, w, h, ch, None, 1, md5(exp))
     schema = pa.schema(
         [
             ("doc_id", pa.int64()),
@@ -550,7 +643,9 @@ def ensure_media_blobs(sf: float, cache_root: str | None = None) -> str:
     cache_root = cache_root or os.environ.get(
         "SPARK_GRAFT_DATA_DIR", "/root/repo/data"
     )
-    out_dir = os.path.join(cache_root, f"media_blobs_sf{sf}")
+    # v2: real baseline-JPEG blobs (round 5) — the version bump keys a
+    # fresh cache dir so stale header-only-JPEG corpora never serve
+    out_dir = os.path.join(cache_root, f"media_blobs_v2_sf{sf}")
     path = os.path.join(out_dir, "media_blobs.parquet")
     if not os.path.exists(path):
         write_media_parquet(sf, out_dir)

@@ -23,6 +23,7 @@ the sandbox allows).
 from __future__ import annotations
 
 import io
+import math
 import struct
 import wave
 
@@ -365,6 +366,461 @@ def jpeg_dimensions(payload: bytes) -> tuple[int, int, int]:
             break  # entropy-coded data next; no SOF seen
         pos += 2 + size
     raise ValueError("JPEG without SOF frame header")
+
+
+# ------------------------------------------- JPEG baseline coder (T.81)
+#
+# Full SOF0 baseline sequential DCT coder, pure stdlib (round 5 — kills
+# the biggest honest stub, VERDICT r4 item 2): grayscale or YCbCr 4:4:4
+# (no subsampling), 8-bit precision.  The quantization and Huffman
+# tables are NOT the Annex K examples — T.81 carries both in the stream
+# (DQT/DHT), so the encoder emits its own deterministic tables and any
+# conformant decoder (including ours) reads them back; this sidesteps
+# transcribing 324 spec-table entries while staying fully conformant.
+#
+# Shared sample contract with the fixture's independent numpy
+# reconstruction (fixtures._jpeg_reconstruct): component sample =
+# clamp(round_half_even(IDCT + 128)); RGB from INTEGER YCbCr samples
+# with round-half-even + clamp.  Both sides are float64, so agreement
+# is exact away from .5 boundaries; the seeded fixture build asserts
+# equality, making any disagreement deterministic, never flaky.
+
+
+def _zigzag() -> list:
+    """The T.81 zigzag scan order, generated (not transcribed): flat
+    8×8 indices ordered by anti-diagonal, alternating direction."""
+    order = []
+    for s in range(15):
+        diag = [(s - j, j) for j in range(s + 1) if 0 <= s - j < 8 and 0 <= j < 8]
+        if s % 2 == 0:
+            diag.reverse()
+        order.extend(r * 8 + c for r, c in diag)
+    return order
+
+
+_ZZ = _zigzag()
+_DCT_COS = [
+    [math.cos((2 * x + 1) * u * math.pi / 16) for x in range(8)] for u in range(8)
+]
+_DCT_A = [math.sqrt(1 / 8)] + [math.sqrt(2 / 8)] * 7
+
+# Deterministic quant tables (any 1..255 values are conformant; these
+# rise with frequency like every practical table, quantizing mildly so
+# fixtures keep high-frequency content to exercise the AC coder)
+_QT = [
+    bytes(8 + 2 * ((k // 8) + (k % 8)) for k in range(64)),  # id 0 (luma/gray)
+    bytes(12 + 3 * ((k // 8) + (k % 8)) for k in range(64)),  # id 1 (chroma)
+]
+
+# Canonical Huffman specs (BITS counts per length 1..16, then symbol
+# list).  DC: the 12 magnitude categories as 4-bit codes (12 of 16
+# slots — the all-ones code stays unassigned as T.81 requires).  AC:
+# all 162 run/size symbols as 9-bit codes (162 of 512).
+_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_DC_VALS = list(range(12))
+_AC_BITS = [0] * 8 + [162] + [0] * 7
+_AC_VALS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+
+
+def _canonical_codes(bits: list, vals: list) -> dict:
+    """symbol -> (code, length) per the T.81 canonical construction."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_DC_CODES = _canonical_codes(_DC_BITS, _DC_VALS)
+_AC_CODES = _canonical_codes(_AC_BITS, _AC_VALS)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            self._n -= 8
+            b = (self._acc >> self._n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> bytes:
+        if self._n:
+            pad = 8 - self._n
+            self.put((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+
+def _fdct_quant(block: list, qt: bytes) -> list:
+    """8×8 spatial (level-shifted) -> zigzagged quantized coefficients.
+    ``qt`` is in NATURAL (row-major) order — the zigzag happens once, on
+    the returned coefficient list (the DQT segment zigzags separately)."""
+    # separable DCT-II: rows then columns, float64 throughout
+    tmp = [[0.0] * 8 for _ in range(8)]
+    for r in range(8):
+        row = block[r]
+        for u in range(8):
+            cu = _DCT_COS[u]
+            tmp[r][u] = _DCT_A[u] * sum(row[x] * cu[x] for x in range(8))
+    coef = [0] * 64
+    for u in range(8):
+        for v in range(8):
+            cv = _DCT_COS[v]
+            val = _DCT_A[v] * sum(tmp[y][u] * cv[y] for y in range(8))
+            k = v * 8 + u
+            coef[k] = round(val / qt[k])
+    return [coef[z] for z in _ZZ]
+
+
+def _magnitude(v: int) -> tuple:
+    """(category, value-bits) per T.81 F.1.2.1 — negatives code as
+    v - 1 in ``category`` low bits."""
+    cat, a = 0, abs(v)
+    while a:
+        cat += 1
+        a >>= 1
+    bits = v if v >= 0 else v - 1
+    return cat, bits & ((1 << cat) - 1) if cat else 0
+
+
+def encode_jpeg(
+    raw: bytes,
+    width: int,
+    height: int,
+    channels: int,
+    return_coefs: bool = False,
+):
+    """Baseline JFIF encoder: ``raw`` is interleaved 8-bit RGB
+    (channels=3, coded as YCbCr 4:4:4) or grayscale (channels=1).
+    Edge blocks replicate the last row/column.
+
+    ``return_coefs`` additionally returns the quantized zigzag
+    coefficient blocks in scan order (one list per block, MCUs
+    raster-ordered, components interleaved) — the fixture generator
+    feeds them to its independent numpy reconstruction so the decode
+    contract (entropy decode + dequant + IDCT + color) is what the
+    ground truth exercises, without requiring the forward DCT's float
+    rounding to be bit-reproducible across implementations."""
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 or 3")
+    if len(raw) != width * height * channels:
+        raise ValueError("raw length mismatch")
+
+    # component planes as float64 level-shifted samples
+    if channels == 1:
+        planes = [[float(raw[i]) - 128.0 for i in range(width * height)]]
+    else:
+        y_p, cb_p, cr_p = [], [], []
+        for i in range(width * height):
+            r, g, b = raw[3 * i], raw[3 * i + 1], raw[3 * i + 2]
+            y_p.append(0.299 * r + 0.587 * g + 0.114 * b - 128.0)
+            cb_p.append(-0.168736 * r - 0.331264 * g + 0.5 * b)
+            cr_p.append(0.5 * r - 0.418688 * g - 0.081312 * b)
+        planes = [y_p, cb_p, cr_p]
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
+
+    head = bytearray(b"\xff\xd8")
+    head += seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    n_qt = 1 if channels == 1 else 2
+    for t in range(n_qt):
+        head += seg(0xDB, bytes([t]) + bytes(_QT[t][z] for z in _ZZ))
+    comp_spec = b"".join(
+        bytes((c + 1, 0x11, 0 if c == 0 else 1)) for c in range(channels)
+    )
+    head += seg(
+        0xC0, b"\x08" + struct.pack(">HH", height, width)
+        + bytes([channels]) + comp_spec
+    )
+    n_ht = 1 if channels == 1 else 2
+    for t in range(n_ht):
+        head += seg(0xC4, bytes([t]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+        head += seg(0xC4, bytes([0x10 | t]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    scan_spec = b"".join(
+        bytes((c + 1, 0 if c == 0 else 0x11)) for c in range(channels)
+    )
+    head += seg(0xDA, bytes([channels]) + scan_spec + b"\x00\x3f\x00")
+
+    bw = _BitWriter()
+    mcux, mcuy = (width + 7) // 8, (height + 7) // 8
+    pred = [0] * channels
+    coefs: list = []
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c in range(channels):
+                plane, qt = planes[c], _QT[0 if c == 0 else 1]
+                block = []
+                for yy in range(8):
+                    py = min(my * 8 + yy, height - 1)
+                    row = []
+                    for xx in range(8):
+                        px = min(mx * 8 + xx, width - 1)
+                        row.append(plane[py * width + px])
+                    block.append(row)
+                zz = _fdct_quant(block, qt)
+                if return_coefs:
+                    coefs.append(zz)
+                diff = zz[0] - pred[c]
+                pred[c] = zz[0]
+                cat, vbits = _magnitude(diff)
+                code, ln = _DC_CODES[cat]
+                bw.put(code, ln)
+                if cat:
+                    bw.put(vbits, cat)
+                run = 0
+                last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+                for k in range(1, last_nz + 1):
+                    if zz[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        zc, zl = _AC_CODES[0xF0]
+                        bw.put(zc, zl)
+                        run -= 16
+                    cat, vbits = _magnitude(zz[k])
+                    code, ln = _AC_CODES[(run << 4) | cat]
+                    bw.put(code, ln)
+                    bw.put(vbits, cat)
+                    run = 0
+                if last_nz < 63:
+                    ec, el = _AC_CODES[0x00]
+                    bw.put(ec, el)
+    payload = bytes(head) + bw.flush() + b"\xff\xd9"
+    return (payload, coefs) if return_coefs else payload
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("JPEG entropy data truncated")
+        b = d[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(d):
+                raise ValueError("JPEG entropy data truncated at FF")
+            nxt = d[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed byte
+            else:
+                raise ValueError(f"unexpected marker FF{nxt:02x} in scan")
+        self._acc = (self._acc << 8) | b
+        self._n += 8
+
+    def bit(self) -> int:
+        if self._n == 0:
+            self._fill()
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _decode_huff_tree(bits: list, vals: list) -> dict:
+    """(code, length) -> symbol lookup for the bit-at-a-time decoder."""
+    return {cl: sym for sym, cl in _canonical_codes(bits, vals).items()}
+
+
+def _read_symbol(br: _BitReader, tree: dict) -> int:
+    code, length = 0, 0
+    while length <= 16:
+        code = (code << 1) | br.bit()
+        length += 1
+        sym = tree.get((code, length))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in scan")
+
+
+def _extend(v: int, cat: int) -> int:
+    if cat == 0:
+        return 0
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def _idct_block(coef: list, qt: list) -> list:
+    """zigzagged quantized coefficients -> 64 uint8 samples (row-major),
+    via dequant, separable float64 IDCT, +128 level shift,
+    round-half-even, clamp."""
+    dq = [0.0] * 64
+    for i, z in enumerate(_ZZ):
+        dq[z] = coef[i] * qt[i]
+    # separable inverse: columns then rows (transpose of the forward)
+    tmp = [[0.0] * 8 for _ in range(8)]
+    for u in range(8):
+        col = [dq[v * 8 + u] for v in range(8)]
+        for y in range(8):
+            tmp[y][u] = sum(_DCT_A[v] * col[v] * _DCT_COS[v][y] for v in range(8))
+    out = []
+    for y in range(8):
+        row = tmp[y]
+        for x in range(8):
+            val = sum(_DCT_A[u] * row[u] * _DCT_COS[u][x] for u in range(8)) + 128.0
+            iv = round(val)
+            out.append(0 if iv < 0 else 255 if iv > 255 else iv)
+    return out
+
+
+def decode_jpeg(payload: bytes) -> tuple:
+    """Baseline SOF0 decode → (width, height, channels, raw pixels) —
+    grayscale or any 3-component scan with 1×1 sampling (4:4:4).
+    Progressive (SOF2), subsampled, arithmetic-coded, and
+    restart-marker streams raise ValueError (routed to the status
+    column by the operator, like every decoder here)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos, n = 2, len(payload)
+    qts: dict = {}
+    dc_trees: dict = {}
+    ac_trees: dict = {}
+    width = height = None
+    comps: list = []
+    scan_comps: list = []
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (size,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + size]
+        if marker == 0xDB:
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qts[tq] = list(body[b + 1 : b + 65])
+                b += 65
+        elif marker == 0xC4:
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0xF
+                bits = list(body[b + 1 : b + 17])
+                nv = sum(bits)
+                vals = list(body[b + 17 : b + 17 + nv])
+                tree = _decode_huff_tree(bits, vals)
+                (dc_trees if tc == 0 else ac_trees)[th] = tree
+                b += 17 + nv
+        elif marker in (0xC0, 0xC1):
+            if body[0] != 8:
+                raise ValueError("only 8-bit precision supported")
+            height, width = struct.unpack_from(">HH", body, 1)
+            nc = body[5]
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                if hv != 0x11:
+                    raise ValueError("subsampled JPEG unsupported")
+                comps.append((cid, tq))
+            if nc not in (1, 3):
+                raise ValueError(f"unsupported component count {nc}")
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG unsupported")
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:
+            ns = body[0]
+            for c in range(ns):
+                cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
+                scan_comps.append((cid, tabs >> 4, tabs & 0xF))
+            pos += 2 + size
+            break
+        pos += 2 + size
+    if width is None or not scan_comps:
+        raise ValueError("JPEG missing SOF/SOS")
+    if len(scan_comps) != len(comps):
+        raise ValueError("partial scans unsupported")
+
+    channels = len(comps)
+    tq_of = dict(comps)
+    br = _BitReader(payload, pos)
+    mcux, mcuy = (width + 7) // 8, (height + 7) // 8
+    planes = [bytearray(mcux * 8 * mcuy * 8) for _ in range(channels)]
+    pred = [0] * channels
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (cid, dt, at) in enumerate(scan_comps):
+                try:
+                    qt = qts[tq_of[cid]]
+                    dct, act = dc_trees[dt], ac_trees[at]
+                except KeyError:
+                    raise ValueError("scan references undefined table")
+                cat = _read_symbol(br, dct)
+                diff = _extend(br.bits(cat), cat) if cat else 0
+                pred[ci] += diff
+                coef = [0] * 64
+                coef[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    sym = _read_symbol(br, act)
+                    if sym == 0x00:
+                        break
+                    if sym == 0xF0:
+                        k += 16
+                        continue
+                    run, cat = sym >> 4, sym & 0xF
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC coefficient index overflow")
+                    coef[k] = _extend(br.bits(cat), cat)
+                    k += 1
+                samples = _idct_block(coef, qt)
+                plane, stride = planes[ci], mcux * 8
+                for yy in range(8):
+                    base = (my * 8 + yy) * stride + mx * 8
+                    plane[base : base + 8] = bytes(
+                        samples[yy * 8 : yy * 8 + 8]
+                    )
+
+    stride = mcux * 8
+    if channels == 1:
+        plane = planes[0]
+        out = bytearray(width * height)
+        for y in range(height):
+            out[y * width : (y + 1) * width] = plane[
+                y * stride : y * stride + width
+            ]
+        return width, height, 1, bytes(out)
+    out = bytearray(width * height * 3)
+    yp, cbp, crp = planes
+    for y in range(height):
+        for x in range(width):
+            i = y * stride + x
+            yy, cb, cr = yp[i], cbp[i] - 128, crp[i] - 128
+            r = round(yy + 1.402 * cr)
+            g = round(yy - 0.344136 * cb - 0.714136 * cr)
+            b = round(yy + 1.772 * cb)
+            o = 3 * (y * width + x)
+            out[o] = 0 if r < 0 else 255 if r > 255 else r
+            out[o + 1] = 0 if g < 0 else 255 if g > 255 else g
+            out[o + 2] = 0 if b < 0 else 255 if b > 255 else b
+    return width, height, 3, bytes(out)
 
 
 # -------------------------------------------------------------- sniffing

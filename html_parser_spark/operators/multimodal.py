@@ -6,8 +6,12 @@ IHDR parse, zlib IDAT inflate, all five per-row filter inverses from the
 public PNG spec), and the gate query value-oracles it: the fixture
 generator (``fixtures.encode_png``) stores the ground-truth dimensions
 and the md5 of the raw pixel bytes alongside each blob, and the Spark
-decode must reproduce them from the blob alone.  JPEG/video decode stay
-honestly stubbed (libjpeg/ffmpeg are absent in this container).
+decode must reproduce them from the blob alone.  Round 5 extends the
+same treatment to JPEG: a full pure-stdlib baseline T.81 coder
+(mediacodecs.encode_jpeg/decode_jpeg) with ground truth from an
+independent numpy reconstruction of the committed coefficients.  Video
+decode stays honestly stubbed (ffmpeg absent in this container); GIF
+frame sampling is the real animated path.
 
 At 100 TB, the pattern is: binary blobs stay columnar in parquet, the
 ``mapInPandas`` stage streams Arrow batches (bounded by
@@ -104,13 +108,26 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
 
 
 
-def decode_image(payload: bytes):  # pragma: no cover - codec-less sandbox
-    """JPEG/WebP codec path — requires PIL/libjpeg, absent in this
-    container (PNG is handled natively by :func:`decode_png`)."""
-    raise NotImplementedError(
-        "JPEG/WebP decode needs PIL/libjpeg; wire into _meta_batches when "
-        "available"
-    )
+def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Unified still-image decode: PNG via :func:`decode_png`, baseline
+    JPEG via the round-5 pure-stdlib T.81 coder
+    (mediacodecs.decode_jpeg), BMP via decode_bmp.  WebP remains the
+    honest stub (VP8 entropy decode is out of scope for a codec-less
+    sandbox)."""
+    from ..functions.mediacodecs import decode_bmp, decode_jpeg, sniff_format
+
+    fmt = sniff_format(payload)
+    if fmt == "png":
+        return decode_png(payload)
+    if fmt == "jpeg":
+        return decode_jpeg(payload)
+    if fmt == "bmp":
+        return decode_bmp(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        raise NotImplementedError(
+            "WebP decode needs libwebp; wire into decode_image when available"
+        )
+    raise ValueError(f"not a decodable still image (sniffed {fmt!r})")
 
 
 def sample_frames(payload: bytes, every_n: int = 30):  # pragma: no cover
@@ -147,15 +164,14 @@ def _media_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Sniff-and-dispatch decode.  The format is detected from the magic
     bytes (metadata lies at corpus scale; bytes don't) and each decoder
     re-derives dimensions/audio shape/pixel fingerprint from the payload
-    alone.  JPEG is the honest-stub modality: its marker walk yields real
-    dimensions but pixel decode needs libjpeg (absent here), so
-    n_frames/pixel_md5 stay NULL — exactly what the oracle's ground
-    truth stores for it."""
+    alone.  Since round 5 JPEG decodes for real (pure-stdlib baseline
+    T.81: DHT canonical Huffman, dequant, IDCT, YCbCr→RGB), so its
+    pixel_md5 is re-derived from the bytes exactly like PNG/GIF/BMP."""
     from ..functions.mediacodecs import (
         decode_bmp,
         decode_gif,
+        decode_jpeg,
         decode_wav,
-        jpeg_dimensions,
         sniff_format,
     )
 
@@ -185,7 +201,8 @@ def _media_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     channels, sample_rate, n_frames, pcm = decode_wav(b)
                     pixel_md5 = hashlib.md5(pcm).hexdigest()
                 elif fmt == "jpeg":
-                    width, height, channels = jpeg_dimensions(b)
+                    width, height, channels, raw = decode_jpeg(b)
+                    n_frames, pixel_md5 = 1, hashlib.md5(raw).hexdigest()
             except _DECODE_ERRORS:
                 width = height = channels = sample_rate = n_frames = None
                 pixel_md5 = None
@@ -281,9 +298,9 @@ def media_features(
     feature-extract → fingerprint), all pure-stdlib over the decoded
     pixels: images get a nearest-neighbor ``thumb_w``×``thumb_h``
     thumbnail fingerprint plus channel-0 integer stats; WAV gets the
-    integer loudness feature (sum of squared samples).  JPEG stays the
-    honest stub (no pixels without libjpeg → feature columns NULL,
-    status 'no_pixels').  Failures route to status like
+    integer loudness feature (sum of squared samples).  Since round 5
+    JPEG decodes for real and flows through the same image-feature leg
+    as PNG/BMP.  Failures route to status like
     :func:`media_metadata`."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -291,6 +308,7 @@ def media_features(
             audio_energy,
             decode_bmp,
             decode_gif,
+            decode_jpeg,
             decode_wav,
             image_features,
             resize_nearest,
@@ -324,6 +342,8 @@ def media_features(
                         ch, raw = 1, idx[: w * h]  # first frame
                     elif fmt == "bmp":
                         w, h, ch, raw = decode_bmp(b)
+                    elif fmt == "jpeg":
+                        w, h, ch, raw = decode_jpeg(b)
                     elif fmt == "wav":
                         chn, sr, nf, pcm = decode_wav(b)
                         energy = audio_energy(pcm, chn)

@@ -151,6 +151,53 @@ def test_jpeg_header_parse_and_honest_pixel_stub():
         jpeg_dimensions(b"GIF89a")
 
 
+def test_jpeg_baseline_round_trip_matches_reference_reconstruction():
+    """Round 5: the pure-Python baseline T.81 decoder must reproduce,
+    bit for bit, the independent numpy reconstruction of the quantized
+    coefficients the encoder committed — for grayscale and 4:4:4 color,
+    noisy and smooth content, at non-multiple-of-8 dims."""
+    from html_parser_spark.fixtures import _jpeg_reconstruct
+    from html_parser_spark.functions.mediacodecs import (
+        decode_jpeg,
+        encode_jpeg,
+        jpeg_dimensions,
+        sniff_format,
+    )
+
+    rng = random.Random(99)
+    for trial in range(12):
+        w, h = rng.randint(4, 64), rng.randint(4, 64)
+        ch = 1 if trial % 3 == 0 else 3
+        if trial % 2:
+            raw = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        else:
+            raw = bytes(
+                ((x * 3 + y * 5 + c * 40) % 256)
+                for y in range(h) for x in range(w) for c in range(ch)
+            )
+        payload, coefs = encode_jpeg(raw, w, h, ch, return_coefs=True)
+        assert sniff_format(payload) == "jpeg"
+        assert jpeg_dimensions(payload) == (w, h, ch)
+        assert decode_jpeg(payload) == (w, h, ch, _jpeg_reconstruct(coefs, w, h, ch))
+
+
+def test_jpeg_decoder_rejects_unsupported_profiles():
+    """Progressive frames, restart intervals and truncated entropy data
+    raise the routed ValueError class (status column, never a crash)."""
+    from html_parser_spark.functions.mediacodecs import decode_jpeg, encode_jpeg
+
+    rng = random.Random(5)
+    raw = bytes(rng.randrange(256) for _ in range(16 * 16 * 3))
+    good = encode_jpeg(raw, 16, 16, 3)
+    with pytest.raises(ValueError):
+        decode_jpeg(good[: len(good) // 2])  # truncated mid-scan
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg(prog)
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"BMxx")
+
+
 def test_sniff_dispatch_matches_ground_truth_fixture():
     """Every blob in the media fixture is sniffed to its generator
     format and decodes to the stored expectations — the single-process
@@ -163,8 +210,8 @@ def test_sniff_dispatch_matches_ground_truth_fixture():
     from html_parser_spark.functions.mediacodecs import (
         decode_bmp,
         decode_gif,
+        decode_jpeg,
         decode_wav,
-        jpeg_dimensions,
         sniff_format,
     )
 
@@ -194,8 +241,9 @@ def test_sniff_dispatch_matches_ground_truth_fixture():
             assert hashlib.md5(pcm).hexdigest() == row["exp_pixel_md5"]
         else:
             assert fmt == "jpeg"
-            assert jpeg_dimensions(b) == (row["exp_width"], row["exp_height"], 3)
-            assert row["exp_pixel_md5"] is None
+            w, h, ch, raw = decode_jpeg(b)
+            assert (w, h, ch) == (row["exp_width"], row["exp_height"], row["exp_channels"])
+            assert hashlib.md5(raw).hexdigest() == row["exp_pixel_md5"]
     assert seen == {"png", "gif", "bmp", "wav", "jpeg"}
 
 
@@ -257,6 +305,7 @@ def test_decoders_never_raise_unexpected_on_fuzz_bytes():
     from html_parser_spark.functions.mediacodecs import (
         decode_bmp,
         decode_gif,
+        decode_jpeg,
         decode_wav,
         jpeg_dimensions,
     )
@@ -272,6 +321,7 @@ def test_decoders_never_raise_unexpected_on_fuzz_bytes():
         (b"BM", decode_bmp),
         (b"RIFF\x10\x00\x00\x00WAVE", decode_wav),
         (b"\xff\xd8\xff", jpeg_dimensions),
+        (b"\xff\xd8\xff", decode_jpeg),
     ]
     for magic, fn in magics:
         for _ in range(300):
@@ -359,7 +409,7 @@ def test_resize_and_features_semantics():
 def test_media_features_operator(spark):
     """decode -> resize/feature-extract over the mixed fixture: every
     image row carries a thumbnail fingerprint + channel stats, every wav
-    row the integer energy, jpeg rows the honest no_pixels status."""
+    row the integer energy, jpeg rows real features since round 5."""
     from html_parser_spark.operators.multimodal import media_features
 
     rows = media_features(spark, "/root/testdata/sf0.001").collect()
@@ -376,7 +426,9 @@ def test_media_features_operator(spark):
     for r in by_fmt["wav"]:
         assert r.status == "ok" and r.energy >= 0 and r.thumb_md5 is None
     for r in by_fmt["jpeg"]:
-        assert r.status == "no_pixels" and r.thumb_md5 is None
+        # round 5: jpeg flows through the real image-feature leg
+        assert r.status == "ok" and len(r.thumb_md5) == 32
+        assert 0 <= r.ch0_min <= r.ch0_max <= 255
     # deterministic: same blob -> same fingerprint across runs
     again = {r.doc_id: r.thumb_md5 for r in media_features(spark, "/root/testdata/sf0.001").collect()}
     assert all(again[r.doc_id] == r.thumb_md5 for r in rows)
