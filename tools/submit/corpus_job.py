@@ -115,6 +115,15 @@ def main() -> None:
         "cluster the same check goes through the Hadoop FileSystem API "
         "or the Iceberg snapshot log instead of os.path.",
     )
+    ap.add_argument(
+        "--io-codec",
+        default="zstd",
+        help="spark.io.compression.codec for shuffle/spill blocks "
+        "(CLAUDE.md invariant: heavy jobs need zstd — the sf10 dedup "
+        "stage's transient scratch is ~38 GB zstd vs >80 GB lz4 = "
+        "disk-full on the single sandbox disk; round 4 ran it via the "
+        "session conf, round 5 makes the job self-sufficient).",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -131,6 +140,7 @@ def main() -> None:
         app_name="corpus-pipeline",
         master=args.master,
         shuffle_partitions=args.shuffle_partitions,
+        extra_conf={"spark.io.compression.codec": args.io_codec},
     )
     metrics: list[dict] = []
 
