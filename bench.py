@@ -142,9 +142,13 @@ def main() -> None:
         ]
         qmap = entry_mod.queries()
         for name in secondary:
-            df = qmap[name](spark, args.sf_dir)
 
             def _force():
+                # plan construction INSIDE the wall: iterative operators
+                # (link_pagerank's power rounds run at build time via
+                # localCheckpoint) would otherwise execute outside the
+                # timer and record only the final top-k re-read
+                df = qmap[name](spark, args.sf_dir)
                 if "main_text" in df.columns:
                     # a bare count() lets Catalyst prune the extraction
                     # UDF column entirely — force the text to materialize

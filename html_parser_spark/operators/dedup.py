@@ -1019,7 +1019,11 @@ def simhash_near_dups(
 
 
 def _sketch_components(
-    nodes: DataFrame, max_hamming: int, n_blocks: int, max_iter: int = 25
+    nodes: DataFrame,
+    max_hamming: int,
+    n_blocks: int,
+    max_iter: int = 25,
+    per_round_keys: bool = False,
 ) -> DataFrame:
     """Connected components of the DISTINCT-sketch graph (vertices =
     sh64 values, edges = pairs within ``max_hamming`` bits) WITHOUT
@@ -1036,13 +1040,37 @@ def _sketch_components(
     n_part = int(nodes.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     keys = F.array(*_pigeonhole_keys(n_blocks, max_hamming))
     ham = F.bit_count(F.col("a.sh64").bitwiseXOR(F.col("b.sh64")))
+    # The bucket STRUCTURE (sh64 → C(n_blocks, h) pigeonhole keys) is
+    # constant across rounds; only labels change.  Round 4 re-exploded
+    # and re-exchanged the ~20×|sketches| keyed frame EVERY round; the
+    # keyed frame is now built/partitioned once and persisted, and each
+    # round attaches the fresh labels by a BROADCAST join (labels are
+    # (sh64, comp) int64 pairs — ~50 MB at sf10's 3.3M distinct
+    # sketches), so the bucket self-join reads the resident partitions
+    # with no per-round exchange on either side.  Isolated A/B/A/B on
+    # the sf1.0 quality reps (821,135 distinct sketches, identical
+    # 440,734-component output): hoisted 68.0/64.5 s vs per-round
+    # 74.9/77.3 s — ~13%; the in-bucket join + min-agg dominate the
+    # remainder (BENCH.md round 5).  ``per_round_keys=True`` keeps the
+    # round-4 shape as the measurable control.
+    keyed_static = None
+    if not per_round_keys:
+        keyed_static = _swap_persist(
+            "sketch_lp_keyed",
+            nodes.select("sh64", F.explode(keys).alias("k")).repartition(
+                n_part, "k"
+            ),
+        )
     labels = nodes.select(
         "sh64", F.col("sh64").alias("comp")
     ).localCheckpoint()
     for _ in range(max_iter):
-        keyed = labels.select(
-            "sh64", "comp", F.explode(keys).alias("k")
-        ).repartition(n_part, "k")
+        if per_round_keys:
+            keyed = labels.select(
+                "sh64", "comp", F.explode(keys).alias("k")
+            ).repartition(n_part, "k")
+        else:
+            keyed = keyed_static.join(F.broadcast(labels), "sh64")
         neigh = (
             keyed.alias("a")
             .join(keyed.alias("b"), F.col("a.k") == F.col("b.k"))
