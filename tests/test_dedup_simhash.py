@@ -175,3 +175,32 @@ def test_numpy_simhash_twin_equals_reference_loop():
         words = ["w%d" % rng.randrange(400) for _ in range(rng.randrange(0, 200))]
         assert simhash64(words) == _simhash64_np(words)
     assert _simhash64_np([]) == 0 == simhash64([])
+
+
+def test_sketch_lp_hoisted_equals_per_round_control(spark):
+    """The round-5 hoisted-keys LP and the round-4 per-round-keys
+    control (`per_round_keys=True`) must produce the identical
+    component labeling — the A/B lever is pure physical shape."""
+    from pyspark.sql import functions as F
+
+    from html_parser_spark.operators.dedup import _sketch_components
+
+    # a chain of close sketches (bit flips) plus isolated values
+    base = 0x0123456789ABCDEF
+    vals = [base, base ^ 1, base ^ 3, base ^ (1 << 40)]
+    vals += [0x1111111111111111, 0x7EDCBA9876543210]
+    nodes = spark.createDataFrame(
+        [(v,) for v in vals], "sh64 long"
+    ).select(F.col("sh64"))
+    a = {
+        (r.sh64, r.comp)
+        for r in _sketch_components(nodes, 3, 6, 25, per_round_keys=False).collect()
+    }
+    b = {
+        (r.sh64, r.comp)
+        for r in _sketch_components(nodes, 3, 6, 25, per_round_keys=True).collect()
+    }
+    assert a == b
+    # the 4-element chain collapses to one component
+    comp_of = dict(a)
+    assert len({comp_of[v] for v in vals[:4]}) == 1

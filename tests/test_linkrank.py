@@ -150,3 +150,34 @@ def test_target_stats_tie_break_is_deterministic(spark):
     assert top.collect()[0].top == "beta"
     assert base.collect()[0].n_inlinks == 5
     assert linkrank is not None
+
+
+def test_pagerank_fixed_tracks_float_and_conserves_integer_mass(spark):
+    """The fixed-point gate twin (round 5): integer mass stays within
+    the floor-loss bound of FP_SCALE, every rank gets the teleport
+    floor, and the induced ranking agrees with the float scorer on the
+    same graph (same iteration count, clear margins)."""
+    from html_parser_spark.operators.linkrank import (
+        FP_SCALE,
+        pagerank,
+        pagerank_fixed,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("d", "c"), ("c", "a")],
+        "src string, dst string",
+    )
+    fp = {r.node: r.rank_fp for r in pagerank_fixed(edges, iterations=6).collect()}
+    fl = {r.node: r.rank for r in pagerank(edges, iterations=6).collect()}
+    assert set(fp) == set(fl) == {"a", "b", "c", "d"}
+    n = len(fp)
+    total = sum(fp.values())
+    # integer division loses <1 unit per div site per round; the loss
+    # bound is generous, the conservation direction is what matters
+    assert FP_SCALE * 0.999 <= total <= FP_SCALE
+    teleport = ((FP_SCALE * 15) // 100) // n
+    assert all(v >= teleport for v in fp.values())
+    # same ranking, and relative ranks agree within the quantization
+    assert sorted(fp, key=fp.get) == sorted(fl, key=fl.get)
+    for v in fp:
+        assert abs(fp[v] / FP_SCALE - fl[v]) < 1e-6
