@@ -535,9 +535,11 @@ def write_media_parquet(sf: float, out_dir: str) -> str:
 
     from .functions.mediacodecs import (
         decode_jpeg,
+        encode_avi_fixture,
         encode_bmp,
         encode_gif,
         encode_jpeg,
+        encode_mp4_fixture,
         encode_wav,
     )
 
@@ -564,7 +566,7 @@ def write_media_parquet(sf: float, out_dir: str) -> str:
 
     md5 = lambda b: hashlib.md5(b).hexdigest()  # noqa: E731
     for i in range(n):
-        fmt = ("png", "gif", "bmp", "wav", "jpeg")[i % 5]
+        fmt = ("png", "gif", "bmp", "wav", "jpeg", "mp4", "avi")[i % 7]
         if fmt == "png":
             w, h = rng.randint(4, 48), rng.randint(4, 48)
             ch = 1 if rng.random() < 0.25 else 3
@@ -594,6 +596,20 @@ def write_media_parquet(sf: float, out_dir: str) -> str:
             pcm = bytes(rng.randrange(256) for _ in range(nf * ch * 2))
             add(i, fmt, encode_wav(pcm, ch, sr), None, None, ch, sr, nf,
                 md5(pcm))
+        elif fmt == "mp4":
+            # video containers (round 5): container METADATA is real —
+            # dims/frame-count/duration re-derivable from the box walk;
+            # frame decode stays the honest ffmpeg-less stub, so
+            # exp_pixel_md5 is NULL by contract
+            w, h = rng.choice(((320, 240), (640, 360), (1280, 720), (16, 9)))
+            nf = rng.randint(5, 200)
+            add(i, fmt, encode_mp4_fixture(w, h, nf, 1000, nf * 40), w, h,
+                None, None, nf, None)
+        elif fmt == "avi":
+            w, h = rng.choice(((320, 240), (640, 480), (720, 576)))
+            nf = rng.randint(5, 200)
+            add(i, fmt, encode_avi_fixture(w, h, nf, rng.choice((33367, 40000))),
+                w, h, None, None, nf, None)
         else:  # jpeg: REAL baseline stream since round 5 — dims kept
             # ≤64 so the pure-Python block coder stays fast; 1/4
             # grayscale to exercise the single-component scan.  Ground
@@ -643,9 +659,9 @@ def ensure_media_blobs(sf: float, cache_root: str | None = None) -> str:
     cache_root = cache_root or os.environ.get(
         "SPARK_GRAFT_DATA_DIR", "/root/repo/data"
     )
-    # v2: real baseline-JPEG blobs (round 5) — the version bump keys a
-    # fresh cache dir so stale header-only-JPEG corpora never serve
-    out_dir = os.path.join(cache_root, f"media_blobs_v2_sf{sf}")
+    # v3: real baseline-JPEG blobs + MP4/AVI container rows (round 5) —
+    # the version bump keys a fresh cache dir so stale corpora never serve
+    out_dir = os.path.join(cache_root, f"media_blobs_v3_sf{sf}")
     path = os.path.join(out_dir, "media_blobs.parquet")
     if not os.path.exists(path):
         write_media_parquet(sf, out_dir)

@@ -840,7 +840,219 @@ def sniff_format(payload: bytes) -> str:
         return "wav"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if payload[4:8] == b"ftyp":
+        return "mp4"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "avi"
     return "unknown"
+
+
+# ------------------------------------- video containers (metadata only)
+#
+# Round 5: the video modality's METADATA leg is real — an ISO-BMFF
+# (MP4) box walk and a RIFF-AVI header walk, both pure stdlib from the
+# public specs (ISO/IEC 14496-12 box structure; the classic AVIMAINHEADER
+# layout).  Frame DECODE stays the honest stub (sample_frames — the
+# codecs inside the containers need ffmpeg), exactly like JPEG's pixel
+# path before round 5: typed metadata (dims, frame count, duration)
+# re-derived from the bytes, content fingerprints not claimed.
+
+
+def encode_mp4_fixture(
+    width: int,
+    height: int,
+    n_frames: int,
+    timescale: int = 1000,
+    duration: int | None = None,
+) -> bytes:
+    """Minimal valid ISO-BMFF stream: ftyp + moov(mvhd, trak(tkhd,
+    mdia(mdhd, hdlr, minf(stbl(stsd(avc1), stts, stsc, stsz, stco)))))
+    + a deterministic filler mdat.  Carries real dimensions, sample
+    count and duration; the media data itself is filler (no codec in
+    the sandbox to produce real samples — the parser under test reads
+    structure, not samples)."""
+    if duration is None:
+        duration = n_frames * 40  # 25 fps at the default ms timescale
+
+    def box(tag: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + tag + body
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2avc1mp41")
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">B3x", 0)
+        + struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IH2x", 0x00010000, 0x0100)
+        + b"\x00" * 8
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    tkhd = box(
+        b"tkhd",
+        struct.pack(">B3x", 0)  # version 0; flags 0 (fixture)
+        + struct.pack(">IIII", 0, 0, 1, 0)
+        + struct.pack(">I", duration)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mdhd = box(
+        b"mdhd",
+        struct.pack(">B3x", 0)
+        + struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+    )
+    hdlr = box(
+        b"hdlr",
+        struct.pack(">II", 0, 0)  # version/flags + pre_defined
+        + b"vide"
+        + b"\x00" * 12
+        + b"fixture\x00",
+    )
+    avc1 = box(
+        b"avc1",
+        b"\x00" * 6
+        + struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x480000, 0x480000)
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 1)
+        + b"\x00" * 32
+        + struct.pack(">Hh", 0x18, -1),
+    )
+    stsd = box(b"stsd", struct.pack(">B3xI", 0, 1) + avc1)
+    stts = box(
+        b"stts", struct.pack(">B3xI", 0, 1) + struct.pack(">II", n_frames, 40)
+    )
+    stsc = box(
+        b"stsc", struct.pack(">B3xI", 0, 1) + struct.pack(">III", 1, n_frames, 1)
+    )
+    stsz = box(
+        b"stsz",
+        struct.pack(">B3xII", 0, 0, n_frames)
+        + b"".join(struct.pack(">I", 16) for _ in range(n_frames)),
+    )
+    stco = box(b"stco", struct.pack(">B3xI", 0, 1) + struct.pack(">I", 0))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    mdat = box(b"mdat", bytes((i * 7 + 3) & 0xFF for i in range(16 * min(n_frames, 8))))
+    return ftyp + moov + mdat
+
+
+def mp4_metadata(payload: bytes) -> tuple:
+    """ISO-BMFF box walk → (width, height, n_frames, duration_ms) of
+    the first video track.  Handles version 0/1 mvhd/mdhd; raises
+    ValueError on malformed box sizes (routed to the status column)."""
+    if payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF stream (no ftyp)")
+
+    def walk(start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            (size,) = struct.unpack_from(">I", payload, pos)
+            tag = payload[pos + 4 : pos + 8]
+            hdr = 8
+            if size == 1:
+                if pos + 16 > end:
+                    raise ValueError("truncated 64-bit box header")
+                (size,) = struct.unpack_from(">Q", payload, pos + 8)
+                hdr = 16
+            elif size == 0:
+                size = end - pos
+            if size < hdr or pos + size > end:
+                raise ValueError(f"malformed box size {size} at {pos}")
+            yield tag, pos + hdr, pos + size
+            pos += size
+
+    def find(tag: bytes, start: int, end: int):
+        for t, b, e in walk(start, end):
+            if t == tag:
+                return b, e
+        return None
+
+    moov = find(b"moov", 0, len(payload))
+    if moov is None:
+        raise ValueError("MP4 without moov")
+    timescale = duration = None
+    width = height = n_frames = None
+    for t, b, e in walk(*moov):
+        if t == b"mvhd":
+            ver = payload[b]
+            if ver == 1:
+                timescale, duration = struct.unpack_from(">IQ", payload, b + 20)
+            else:
+                timescale, duration = struct.unpack_from(">II", payload, b + 12)
+        elif t == b"trak" and width is None:
+            mdia = find(b"mdia", b, e)
+            if mdia is None:
+                continue
+            hdlr = find(b"hdlr", *mdia)
+            if hdlr is None or payload[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+                continue
+            tkhd = find(b"tkhd", b, e)
+            if tkhd is not None:
+                tb = tkhd[0]
+                ver = payload[tb]
+                # v0 body: 4 ver/flags + 20 times/ids + 8 reserved +
+                # 8 layer/group/volume + 36 matrix = 76 → width; v1
+                # widens the three time/duration fields by 4 each
+                off = tb + (88 if ver == 1 else 76)
+                w_fp, h_fp = struct.unpack_from(">II", payload, off)
+                width, height = w_fp >> 16, h_fp >> 16
+            minf = find(b"minf", *mdia)
+            stbl = find(b"stbl", *minf) if minf else None
+            stsz = find(b"stsz", *stbl) if stbl else None
+            if stsz is not None:
+                _, n_frames = struct.unpack_from(">II", payload, stsz[0] + 4)
+    if width is None or timescale in (None, 0):
+        raise ValueError("MP4 without a video track / mvhd")
+    return width, height, int(n_frames or 0), int(duration * 1000 // timescale)
+
+
+def encode_avi_fixture(
+    width: int, height: int, n_frames: int, us_per_frame: int = 40_000
+) -> bytes:
+    """Minimal RIFF-AVI: hdrl LIST with a 56-byte avih main header
+    (frame cadence, total frames, dimensions) + an empty movi LIST."""
+    avih = b"avih" + struct.pack(
+        "<I", 56
+    ) + struct.pack(
+        "<14I",
+        us_per_frame, 0, 0, 0x10, n_frames, 0, 1, 0, width, height, 0, 0, 0, 0,
+    )
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(avih)) + b"hdrl" + avih
+    movi = b"LIST" + struct.pack("<I", 4) + b"movi"
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def avi_metadata(payload: bytes) -> tuple:
+    """RIFF walk → (width, height, n_frames, duration_ms) from the
+    AVIMAINHEADER.  Raises ValueError on malformed chunks."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF-AVI stream")
+    pos, end = 12, min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0])
+    while pos + 8 <= end:
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if tag == b"LIST":
+            if payload[pos + 8 : pos + 12] == b"hdrl":
+                pos += 12  # descend into the list
+                continue
+        elif tag == b"avih":
+            if size < 40:
+                raise ValueError("truncated avih")
+            vals = struct.unpack_from("<10I", payload, pos + 8)
+            uspf, total, w, h = vals[0], vals[4], vals[8], vals[9]
+            return w, h, total, total * uspf // 1000
+        pos += 8 + size + (size & 1)
+    raise ValueError("AVI without avih header")
 
 
 # ---------------------------------------------------------- transforms

@@ -153,8 +153,8 @@ _DECODE_ERRORS = (ValueError, struct.error, IndexError, EOFError, zlib.error)
 
 
 def media_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The deterministic mixed-format blob table (PNG/GIF/BMP/WAV/JPEG)
-    for the gate's scale factor."""
+    """The deterministic mixed-format blob table
+    (PNG/GIF/BMP/WAV/JPEG/MP4/AVI) for the gate's scale factor."""
     from ..fixtures import ensure_media_blobs, sf_of
 
     return spark.read.parquet(ensure_media_blobs(sf_of(sf_dir)))
@@ -168,10 +168,12 @@ def _media_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     T.81: DHT canonical Huffman, dequant, IDCT, YCbCr→RGB), so its
     pixel_md5 is re-derived from the bytes exactly like PNG/GIF/BMP."""
     from ..functions.mediacodecs import (
+        avi_metadata,
         decode_bmp,
         decode_gif,
         decode_jpeg,
         decode_wav,
+        mp4_metadata,
         sniff_format,
     )
 
@@ -203,6 +205,13 @@ def _media_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 elif fmt == "jpeg":
                     width, height, channels, raw = decode_jpeg(b)
                     n_frames, pixel_md5 = 1, hashlib.md5(raw).hexdigest()
+                elif fmt == "mp4":
+                    # container metadata is real (ISO-BMFF box walk);
+                    # frame decode needs ffmpeg and stays the honest
+                    # stub, so pixel_md5 remains NULL by contract
+                    width, height, n_frames, _dur = mp4_metadata(b)
+                elif fmt == "avi":
+                    width, height, n_frames, _dur = avi_metadata(b)
             except _DECODE_ERRORS:
                 width = height = channels = sample_rate = n_frames = None
                 pixel_md5 = None
@@ -255,6 +264,10 @@ def media_metadata_sql(sf_dir: str | None = None) -> str:
               AND substr(lower(hex(payload)), 17, 8) = '57415645'
                THEN 'wav'
              WHEN substr(lower(hex(payload)), 1, 6) = 'ffd8ff' THEN 'jpeg'
+             WHEN substr(lower(hex(payload)), 9, 8) = '66747970' THEN 'mp4'
+             WHEN substr(lower(hex(payload)), 1, 8) = '52494646'
+              AND substr(lower(hex(payload)), 17, 8) = '41564920'
+               THEN 'avi'
              ELSE 'unknown'
            END AS format,
            CAST(octet_length(payload) AS INT) AS byte_len,

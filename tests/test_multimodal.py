@@ -208,10 +208,12 @@ def test_sniff_dispatch_matches_ground_truth_fixture():
 
     from html_parser_spark.fixtures import ensure_media_blobs
     from html_parser_spark.functions.mediacodecs import (
+        avi_metadata,
         decode_bmp,
         decode_gif,
         decode_jpeg,
         decode_wav,
+        mp4_metadata,
         sniff_format,
     )
 
@@ -239,12 +241,20 @@ def test_sniff_dispatch_matches_ground_truth_fixture():
             ch, sr, nf, pcm = decode_wav(b)
             assert (ch, sr, nf) == (row["exp_channels"], row["exp_sample_rate"], row["exp_n_frames"])
             assert hashlib.md5(pcm).hexdigest() == row["exp_pixel_md5"]
-        else:
-            assert fmt == "jpeg"
+        elif fmt == "jpeg":
             w, h, ch, raw = decode_jpeg(b)
             assert (w, h, ch) == (row["exp_width"], row["exp_height"], row["exp_channels"])
             assert hashlib.md5(raw).hexdigest() == row["exp_pixel_md5"]
-    assert seen == {"png", "gif", "bmp", "wav", "jpeg"}
+        elif fmt == "mp4":
+            w, h, nf, dur = mp4_metadata(b)
+            assert (w, h, nf) == (row["exp_width"], row["exp_height"], row["exp_n_frames"])
+            assert dur == nf * 40 and row["exp_pixel_md5"] is None
+        else:
+            assert fmt == "avi"
+            w, h, nf, dur = avi_metadata(b)
+            assert (w, h, nf) == (row["exp_width"], row["exp_height"], row["exp_n_frames"])
+            assert dur > 0 and row["exp_pixel_md5"] is None
+    assert seen == {"png", "gif", "bmp", "wav", "jpeg", "mp4", "avi"}
 
 
 def test_gif_frame_sampling_every_n():
@@ -303,11 +313,13 @@ def test_decoders_never_raise_unexpected_on_fuzz_bytes():
     import random
 
     from html_parser_spark.functions.mediacodecs import (
+        avi_metadata,
         decode_bmp,
         decode_gif,
         decode_jpeg,
         decode_wav,
         jpeg_dimensions,
+        mp4_metadata,
     )
     from html_parser_spark.operators.multimodal import (
         _DECODE_ERRORS,
@@ -322,6 +334,8 @@ def test_decoders_never_raise_unexpected_on_fuzz_bytes():
         (b"RIFF\x10\x00\x00\x00WAVE", decode_wav),
         (b"\xff\xd8\xff", jpeg_dimensions),
         (b"\xff\xd8\xff", decode_jpeg),
+        (b"\x00\x00\x00\x18ftyp", mp4_metadata),
+        (b"RIFF\x20\x00\x00\x00AVI ", avi_metadata),
     ]
     for magic, fn in magics:
         for _ in range(300):
@@ -425,6 +439,11 @@ def test_media_features_operator(spark):
             assert r.energy is None
     for r in by_fmt["wav"]:
         assert r.status == "ok" and r.energy >= 0 and r.thumb_md5 is None
+    for fmt in ("mp4", "avi"):
+        for r in by_fmt[fmt]:
+            # container metadata is real but frame decode is the honest
+            # ffmpeg-less stub — no pixels, no features
+            assert r.status == "no_pixels" and r.thumb_md5 is None
     for r in by_fmt["jpeg"]:
         # round 5: jpeg flows through the real image-feature leg
         assert r.status == "ok" and len(r.thumb_md5) == 32
