@@ -541,6 +541,7 @@ def write_media_parquet(sf: float, out_dir: str) -> str:
         encode_jpeg,
         encode_mp4_fixture,
         encode_wav,
+        encode_webp_fixture,
     )
 
     os.makedirs(out_dir, exist_ok=True)
@@ -566,7 +567,7 @@ def write_media_parquet(sf: float, out_dir: str) -> str:
 
     md5 = lambda b: hashlib.md5(b).hexdigest()  # noqa: E731
     for i in range(n):
-        fmt = ("png", "gif", "bmp", "wav", "jpeg", "mp4", "avi")[i % 7]
+        fmt = ("png", "gif", "bmp", "wav", "jpeg", "mp4", "avi", "webp")[i % 8]
         if fmt == "png":
             w, h = rng.randint(4, 48), rng.randint(4, 48)
             ch = 1 if rng.random() < 0.25 else 3
@@ -610,6 +611,11 @@ def write_media_parquet(sf: float, out_dir: str) -> str:
             nf = rng.randint(5, 200)
             add(i, fmt, encode_avi_fixture(w, h, nf, rng.choice((33367, 40000))),
                 w, h, None, None, nf, None)
+        elif fmt == "webp":
+            w, h = rng.randint(1, 4000), rng.randint(1, 4000)
+            kind = rng.choice(("vp8", "vp8l", "vp8x"))
+            add(i, fmt, encode_webp_fixture(w, h, kind), w, h,
+                None, None, None, None)
         else:  # jpeg: REAL baseline stream since round 5 — dims kept
             # ≤64 so the pure-Python block coder stays fast; 1/4
             # grayscale to exercise the single-component scan.  Ground
@@ -659,9 +665,9 @@ def ensure_media_blobs(sf: float, cache_root: str | None = None) -> str:
     cache_root = cache_root or os.environ.get(
         "SPARK_GRAFT_DATA_DIR", "/root/repo/data"
     )
-    # v3: real baseline-JPEG blobs + MP4/AVI container rows (round 5) —
+    # v4: real baseline-JPEG blobs + MP4/AVI/WebP container rows (round 5) —
     # the version bump keys a fresh cache dir so stale corpora never serve
-    out_dir = os.path.join(cache_root, f"media_blobs_v3_sf{sf}")
+    out_dir = os.path.join(cache_root, f"media_blobs_v4_sf{sf}")
     path = os.path.join(out_dir, "media_blobs.parquet")
     if not os.path.exists(path):
         write_media_parquet(sf, out_dir)

@@ -844,7 +844,85 @@ def sniff_format(payload: bytes) -> str:
         return "mp4"
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         return "avi"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return "webp"
     return "unknown"
+
+
+# ------------------------------------------------- WebP (header metadata)
+#
+# Pixel decode needs the VP8/VP8L entropy coders (libwebp — absent), but
+# DIMENSIONS live in plain chunk headers for all three container
+# flavors: VP8 keyframe start-code block, VP8L's packed 14-bit fields,
+# VP8X's 24-bit canvas size.  Same honesty split as MP4/AVI: typed
+# metadata real, content decode stubbed.
+
+
+def encode_webp_fixture(width: int, height: int, kind: str = "vp8") -> bytes:
+    """Minimal RIFF-WEBP with a real dimension header: ``kind`` picks
+    the chunk flavor (vp8 lossy keyframe header, vp8l lossless
+    signature, vp8x extended canvas).  Chunk payload beyond the header
+    is deterministic filler — parseable structure, undecodable content."""
+    if kind == "vp8":
+        body = (
+            b"\x10\x00\x00"  # keyframe tag (frame_type bit 0 = 0)
+            + b"\x9d\x01\x2a"
+            + struct.pack("<HH", width & 0x3FFF, height & 0x3FFF)
+            + bytes((i * 11 + 5) & 0xFF for i in range(24))
+        )
+        tag = b"VP8 "
+    elif kind == "vp8l":
+        bits = (width - 1) | ((height - 1) << 14)  # alpha=0, version=0
+        body = b"\x2f" + struct.pack("<I", bits) + bytes(
+            (i * 13 + 1) & 0xFF for i in range(16)
+        )
+        tag = b"VP8L"
+    elif kind == "vp8x":
+        body = (
+            b"\x00\x00\x00\x00"
+            + struct.pack("<I", width - 1)[:3]
+            + struct.pack("<I", height - 1)[:3]
+        )
+        tag = b"VP8X"
+    else:
+        raise ValueError(f"unknown WebP kind {kind!r}")
+    chunk = tag + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+    riff_body = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def webp_metadata(payload: bytes) -> tuple:
+    """RIFF walk → (width, height, kind) from the first VP8/VP8L/VP8X
+    chunk.  Raises ValueError on malformed chunks (routed to status)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a RIFF-WEBP stream")
+    pos, end = 12, min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0])
+    while pos + 8 <= end:
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        b = pos + 8
+        if b + size > end:
+            raise ValueError("truncated WebP chunk")
+        if tag == b"VP8 ":
+            if size < 10 or payload[b + 3 : b + 6] != b"\x9d\x01\x2a":
+                raise ValueError("VP8 chunk without keyframe start code")
+            if payload[b] & 1:
+                raise ValueError("VP8 interframe carries no dimensions")
+            w, h = struct.unpack_from("<HH", payload, b + 6)
+            return w & 0x3FFF, h & 0x3FFF, "vp8"
+        if tag == b"VP8L":
+            if size < 5 or payload[b] != 0x2F:
+                raise ValueError("VP8L chunk without signature")
+            (bits,) = struct.unpack_from("<I", payload, b + 1)
+            return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1, "vp8l"
+        if tag == b"VP8X":
+            if size < 10:
+                raise ValueError("truncated VP8X header")
+            w = int.from_bytes(payload[b + 4 : b + 7], "little") + 1
+            h = int.from_bytes(payload[b + 7 : b + 10], "little") + 1
+            return w, h, "vp8x"
+        pos = b + size + (size & 1)
+    raise ValueError("WebP without a VP8/VP8L/VP8X chunk")
 
 
 # ------------------------------------- video containers (metadata only)

@@ -154,7 +154,7 @@ _DECODE_ERRORS = (ValueError, struct.error, IndexError, EOFError, zlib.error)
 
 def media_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deterministic mixed-format blob table
-    (PNG/GIF/BMP/WAV/JPEG/MP4/AVI) for the gate's scale factor."""
+    (PNG/GIF/BMP/WAV/JPEG/MP4/AVI/WebP) for the gate's scale factor."""
     from ..fixtures import ensure_media_blobs, sf_of
 
     return spark.read.parquet(ensure_media_blobs(sf_of(sf_dir)))
@@ -175,6 +175,7 @@ def _media_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         decode_wav,
         mp4_metadata,
         sniff_format,
+        webp_metadata,
     )
 
     cols = (
@@ -212,6 +213,11 @@ def _media_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     width, height, n_frames, _dur = mp4_metadata(b)
                 elif fmt == "avi":
                     width, height, n_frames, _dur = avi_metadata(b)
+                elif fmt == "webp":
+                    # dimension headers are plain-parseable for all
+                    # three chunk flavors; pixel decode needs libwebp
+                    # and stays the honest stub (pixel_md5 NULL)
+                    width, height, _kind = webp_metadata(b)
             except _DECODE_ERRORS:
                 width = height = channels = sample_rate = n_frames = None
                 pixel_md5 = None
@@ -264,6 +270,9 @@ def media_metadata_sql(sf_dir: str | None = None) -> str:
               AND substr(lower(hex(payload)), 17, 8) = '57415645'
                THEN 'wav'
              WHEN substr(lower(hex(payload)), 1, 6) = 'ffd8ff' THEN 'jpeg'
+             WHEN substr(lower(hex(payload)), 1, 8) = '52494646'
+              AND substr(lower(hex(payload)), 17, 8) = '57454250'
+               THEN 'webp'
              WHEN substr(lower(hex(payload)), 9, 8) = '66747970' THEN 'mp4'
              WHEN substr(lower(hex(payload)), 1, 8) = '52494646'
               AND substr(lower(hex(payload)), 17, 8) = '41564920'

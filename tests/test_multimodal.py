@@ -215,6 +215,7 @@ def test_sniff_dispatch_matches_ground_truth_fixture():
         decode_wav,
         mp4_metadata,
         sniff_format,
+        webp_metadata,
     )
 
     t = pq.read_table(ensure_media_blobs(0.001)).to_pylist()
@@ -249,12 +250,17 @@ def test_sniff_dispatch_matches_ground_truth_fixture():
             w, h, nf, dur = mp4_metadata(b)
             assert (w, h, nf) == (row["exp_width"], row["exp_height"], row["exp_n_frames"])
             assert dur == nf * 40 and row["exp_pixel_md5"] is None
-        else:
-            assert fmt == "avi"
+        elif fmt == "avi":
             w, h, nf, dur = avi_metadata(b)
             assert (w, h, nf) == (row["exp_width"], row["exp_height"], row["exp_n_frames"])
             assert dur > 0 and row["exp_pixel_md5"] is None
-    assert seen == {"png", "gif", "bmp", "wav", "jpeg", "mp4", "avi"}
+        else:
+            assert fmt == "webp"
+            w, h, kind = webp_metadata(b)
+            assert (w, h) == (row["exp_width"], row["exp_height"])
+            assert kind in ("vp8", "vp8l", "vp8x")
+            assert row["exp_pixel_md5"] is None
+    assert seen == {"png", "gif", "bmp", "wav", "jpeg", "mp4", "avi", "webp"}
 
 
 def test_gif_frame_sampling_every_n():
@@ -320,6 +326,7 @@ def test_decoders_never_raise_unexpected_on_fuzz_bytes():
         decode_wav,
         jpeg_dimensions,
         mp4_metadata,
+        webp_metadata,
     )
     from html_parser_spark.operators.multimodal import (
         _DECODE_ERRORS,
@@ -336,6 +343,7 @@ def test_decoders_never_raise_unexpected_on_fuzz_bytes():
         (b"\xff\xd8\xff", decode_jpeg),
         (b"\x00\x00\x00\x18ftyp", mp4_metadata),
         (b"RIFF\x20\x00\x00\x00AVI ", avi_metadata),
+        (b"RIFF\x20\x00\x00\x00WEBP", webp_metadata),
     ]
     for magic, fn in magics:
         for _ in range(300):
@@ -439,7 +447,7 @@ def test_media_features_operator(spark):
             assert r.energy is None
     for r in by_fmt["wav"]:
         assert r.status == "ok" and r.energy >= 0 and r.thumb_md5 is None
-    for fmt in ("mp4", "avi"):
+    for fmt in ("mp4", "avi", "webp"):
         for r in by_fmt[fmt]:
             # container metadata is real but frame decode is the honest
             # ffmpeg-less stub — no pixels, no features
