@@ -354,12 +354,24 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def encode_png(raw: bytes, width: int, height: int, channels: int) -> bytes:
-    """Minimal spec-conformant PNG encoder (8-bit, gray or RGB, no
-    interlace).  Row filters cycle 0..4 so the decoder's unfilter paths
-    are all exercised by the fixture."""
-    assert channels in (1, 3) and len(raw) == width * height * channels
-    color_type = 0 if channels == 1 else 2
+def encode_png(
+    raw: bytes,
+    width: int,
+    height: int,
+    channels: int,
+    palette: bytes | None = None,
+) -> bytes:
+    """Minimal spec-conformant PNG encoder (8-bit; gray / gray+alpha /
+    RGB / RGBA by ``channels`` 1/2/3/4, or palette color type 3 when
+    ``palette`` is given — then ``raw`` is the index plane and
+    ``channels`` must be 1).  Row filters cycle 0..4 so the decoder's
+    unfilter paths are all exercised by the fixture."""
+    assert channels in (1, 2, 3, 4) and len(raw) == width * height * channels
+    if palette is not None:
+        assert channels == 1 and len(palette) % 3 == 0
+        color_type = 3
+    else:
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
     stride = width * channels
     out = bytearray()
     for y in range(height):
@@ -382,9 +394,11 @@ def encode_png(raw: bytes, width: int, height: int, channels: int) -> bytes:
             else:
                 out.append((v - _paeth(a, b, c)) & 0xFF)
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    plte = _png_chunk(b"PLTE", palette) if palette is not None else b""
     return (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
+        + plte
         + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
         + _png_chunk(b"IEND", b"")
     )
@@ -570,9 +584,21 @@ def write_media_parquet(sf: float, out_dir: str) -> str:
         fmt = ("png", "gif", "bmp", "wav", "jpeg", "mp4", "avi", "webp")[i % 8]
         if fmt == "png":
             w, h = rng.randint(4, 48), rng.randint(4, 48)
-            ch = 1 if rng.random() < 0.25 else 3
-            raw = bytes(rng.randrange(256) for _ in range(w * h * ch))
-            add(i, fmt, encode_png(raw, w, h, ch), w, h, ch, None, 1, md5(raw))
+            kind = rng.choice(("gray", "rgb", "rgb", "graya", "rgba", "palette"))
+            if kind == "palette":
+                # indices filtered as bpp=1; truth = the PLTE-expanded
+                # RGB the decoder must return (round 5, color type 3)
+                n_pal = rng.randint(2, 256)
+                pal = bytes(rng.randrange(256) for _ in range(n_pal * 3))
+                idx = bytes(rng.randrange(n_pal) for _ in range(w * h))
+                rgb = b"".join(pal[3 * j : 3 * j + 3] for j in idx)
+                add(i, fmt, encode_png(idx, w, h, 1, palette=pal), w, h, 3,
+                    None, 1, md5(rgb))
+            else:
+                ch = {"gray": 1, "graya": 2, "rgb": 3, "rgba": 4}[kind]
+                raw = bytes(rng.randrange(256) for _ in range(w * h * ch))
+                add(i, fmt, encode_png(raw, w, h, ch), w, h, ch, None, 1,
+                    md5(raw))
         elif fmt == "gif":
             w, h = rng.randint(4, 40), rng.randint(4, 40)
             nf = rng.randint(1, 3)
@@ -665,9 +691,9 @@ def ensure_media_blobs(sf: float, cache_root: str | None = None) -> str:
     cache_root = cache_root or os.environ.get(
         "SPARK_GRAFT_DATA_DIR", "/root/repo/data"
     )
-    # v4: real baseline-JPEG blobs + MP4/AVI/WebP container rows (round 5) —
+    # v5: JPEG + MP4/AVI/WebP rows + all five 8-bit PNG color types (round 5) —
     # the version bump keys a fresh cache dir so stale corpora never serve
-    out_dir = os.path.join(cache_root, f"media_blobs_v4_sf{sf}")
+    out_dir = os.path.join(cache_root, f"media_blobs_v5_sf{sf}")
     path = os.path.join(out_dir, "media_blobs.parquet")
     if not os.path.exists(path):
         write_media_parquet(sf, out_dir)

@@ -43,16 +43,19 @@ def _paeth(a: int, b: int, c: int) -> int:
 def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     """Pure-stdlib PNG decode → (width, height, channels, raw pixels).
 
-    Supports the fixture's (and the overwhelmingly common) profile:
-    8-bit depth, grayscale (color type 0) or truecolor RGB (type 2),
-    no interlace.  Filters 0-4 are all implemented (the spec's full
-    per-row filter set).  Raises ValueError on anything else — a decode
+    Round 5 widens the profile to every 8-bit color type: grayscale
+    (0), truecolor (2), palette (3 — PLTE-expanded to RGB, channels=3),
+    gray+alpha (4) and RGBA (6), no interlace.  Filters 0-4 are all
+    implemented (the spec's full per-row filter set, byte stride =
+    bytes per pixel).  Raises ValueError on anything else — a decode
     failure routes to a status column, never a crash, in the operator.
     """
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     pos, width = 8, -1
     height = channels = -1
+    ctype = -1
+    palette = b""
     idat = bytearray()
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
@@ -63,18 +66,24 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
             width, height, depth, ctype, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if depth != 8 or ctype not in (0, 2) or comp or filt or interlace:
+            if depth != 8 or ctype not in (0, 2, 3, 4, 6) or comp or filt or interlace:
                 raise ValueError(
                     f"unsupported PNG profile: depth={depth} color={ctype} "
                     f"interlace={interlace}"
                 )
-            channels = 1 if ctype == 0 else 3
+            channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+        elif tag == b"PLTE":
+            if length % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            palette = data
         elif tag == b"IDAT":
             idat += data
         elif tag == b"IEND":
             break
     if width < 0 or not idat:
         raise ValueError("truncated PNG (no IHDR/IDAT)")
+    if ctype == 3 and not palette:
+        raise ValueError("palette PNG without PLTE")
     stream = zlib.decompress(bytes(idat))
     stride = width * channels
     if len(stream) != height * (stride + 1):
@@ -103,6 +112,16 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"unknown filter type {ftype}")
         out[y * stride : (y + 1) * stride] = row
         prev = bytes(row)
+    if ctype == 3:
+        # palette expansion AFTER unfiltering (filters run on indices,
+        # bpp=1 per the spec); out-of-range indices are hostile bytes
+        n_entries = len(palette) // 3
+        rgb = bytearray(width * height * 3)
+        for i, idx in enumerate(out):
+            if idx >= n_entries:
+                raise ValueError(f"palette index {idx} out of range")
+            rgb[3 * i : 3 * i + 3] = palette[3 * idx : 3 * idx + 3]
+        return width, height, 3, bytes(rgb)
     return width, height, channels, bytes(out)
 
 
